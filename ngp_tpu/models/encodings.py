@@ -1,0 +1,370 @@
+"""Input encodings, re-implemented TPU-first in pure JAX.
+
+These reproduce the *semantics* of the tcnn encodings the reference uses
+(HashGrid/DenseGrid/TiledGrid, SphericalHarmonics, OneBlob, Frequency,
+TriangleWave, Identity, Composite — see reference ``configs/*/*.json`` and
+SURVEY.md §2.10), but the implementation is batched, static-shape JAX: the
+hash-grid forward is a vectorized 8-corner gather + trilinear blend over all
+levels at once, and the backward is XLA's scatter-add transpose (a Pallas
+kernel can replace the hot path without changing this interface).
+
+Encoding protocol: ``enc.init(key) -> params`` (a pytree, possibly empty) and
+``enc(params, x) -> (N, n_output_dims)`` where ``x`` is ``(N, n_input_dims)``
+float32 in the encoding's expected domain ([0,1] for grids/SH, matching the
+reference's warped inputs).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The three per-dimension hashing primes of the multiresolution hash encoding
+# (Müller et al. 2022, eq. 4 — dim 0 is intentionally 1 for cache coherence).
+_HASH_PRIMES = (1, 2654435761, 805459861)
+
+
+def _next_multiple(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Encoding:
+    n_input_dims: int
+    n_output_dims: int
+
+    def init(self, key: jax.Array):
+        return {}
+
+    def __call__(self, params, x: jax.Array) -> jax.Array:  # pragma: no cover
+        raise NotImplementedError
+
+    @property
+    def n_params(self) -> int:
+        return 0
+
+
+@dataclass(frozen=True)
+class GridEncoding(Encoding):
+    """Multiresolution {hash,dense,tiled} grid encoding.
+
+    Level geometry follows the tcnn convention the reference relies on
+    (SURVEY.md §2.10): ``scale_l = 2^(l·log2(b))·N_min − 1``,
+    ``res_l = ceil(scale_l) + 1``, position ``x·scale + 0.5`` then
+    floor/fract for the 8-corner trilinear blend. A level stores
+    ``min(next_multiple(res³, 8), 2^log2_hashmap_size)`` features; levels that
+    don't fit hash with the XOR-of-primes spatial hash. Parameters are one
+    ``(L, T, F)`` fp32 table (dense levels simply use a prefix of their row).
+    """
+
+    n_input_dims: int = 3
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 2.0
+    grid_type: str = "Hash"  # "Hash" | "Dense" | "Tiled"
+    interpolation: str = "Linear"
+
+    def __post_init__(self):
+        assert self.n_input_dims in (2, 3), "grid encoding supports 2D/3D"
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    def _level_geometry(self):
+        """Per-level (scale, resolution, params_in_level, use_hash)."""
+        ls = math.log2(self.per_level_scale)
+        scales, res, sizes, hashed = [], [], [], []
+        for l in range(self.n_levels):
+            s = 2.0 ** (l * ls) * self.base_resolution - 1.0
+            r = int(math.ceil(s)) + 1
+            dense = r ** self.n_input_dims
+            if self.grid_type == "Dense":
+                size, h = dense, False
+            else:
+                size = min(_next_multiple(dense, 8), self.table_size)
+                # Tiled wraps the linear index; Hash switches to spatial hash.
+                h = (self.grid_type == "Hash") and (dense > size)
+            scales.append(s)
+            res.append(r)
+            sizes.append(size)
+            hashed.append(h)
+        return (
+            np.asarray(scales, np.float32),
+            np.asarray(res, np.int32),
+            np.asarray(sizes, np.int32),
+            np.asarray(hashed, np.bool_),
+        )
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @property
+    def n_params(self) -> int:
+        _, _, sizes, _ = self._level_geometry()
+        return int(sizes.sum()) * self.n_features_per_level
+
+    @property
+    def max_table_rows(self) -> int:
+        _, _, sizes, _ = self._level_geometry()
+        return int(sizes.max())
+
+    def level_param_slices(self) -> list[tuple[int, int]]:
+        """(offset, count) of each level's live params within a flattened
+        level-major view — the analogue of tcnn's ``level_params_offset`` used
+        by the reference's GUI histograms (``testbed.cu:4848-4856``)."""
+        _, _, sizes, _ = self._level_geometry()
+        out, off = [], 0
+        for s in sizes:
+            out.append((off, int(s) * self.n_features_per_level))
+            off += int(s) * self.n_features_per_level
+        return out
+
+    def init(self, key: jax.Array):
+        # tcnn initializes grid features ~ U(-1e-4, 1e-4).
+        T = self.max_table_rows
+        table = jax.random.uniform(
+            key,
+            (self.n_levels, T, self.n_features_per_level),
+            jnp.float32,
+            minval=-1e-4,
+            maxval=1e-4,
+        )
+        return {"table": table}
+
+    def _corner_offsets(self) -> np.ndarray:
+        D = self.n_input_dims
+        n = 1 << D
+        out = np.zeros((n, D), np.int32)
+        for c in range(n):
+            for d in range(D):
+                out[c, d] = (c >> d) & 1
+        return out
+
+    def indices_and_weights(self, x: jax.Array):
+        """Compute gather indices and trilinear weights for all levels.
+
+        Returns ``idx`` (L, N, 2^D) int32 into the level's table row and
+        ``w`` (L, N, 2^D) float32 blend weights. Exposed separately so a
+        Pallas kernel or a custom VJP can reuse the addressing math.
+        """
+        D = self.n_input_dims
+        scales, res, sizes, hashed = self._level_geometry()
+        corners = jnp.asarray(self._corner_offsets())  # (C, D)
+
+        def per_level(scale, r, size, use_hash):
+            pos = x * scale + 0.5
+            pos0 = jnp.floor(pos)
+            frac = pos - pos0
+            pos0 = pos0.astype(jnp.int32)
+            cpos = pos0[:, None, :] + corners[None, :, :]  # (N, C, D)
+            # Linear (tiled/dense) index with per-dim stride = resolution^d.
+            stride = r.astype(jnp.uint32) ** jnp.arange(D, dtype=jnp.uint32)
+            lin = jnp.sum(cpos.astype(jnp.uint32) * stride, axis=-1)
+            # Spatial hash for levels that exceed the table.
+            h = cpos[..., 0].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[0])
+            for d in range(1, D):
+                h = h ^ (cpos[..., d].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[d]))
+            idx = jnp.where(use_hash, h, lin) % size.astype(jnp.uint32)
+            # Blend weight: prod over dims of (frac if corner else 1-frac).
+            cw = jnp.where(
+                corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
+            )
+            w = jnp.prod(cw, axis=-1)
+            return idx.astype(jnp.int32), w
+
+        idx, w = jax.vmap(per_level)(
+            jnp.asarray(scales), jnp.asarray(res), jnp.asarray(sizes), jnp.asarray(hashed)
+        )
+        return idx, w
+
+    def __call__(self, params, x: jax.Array, max_level: int | None = None) -> jax.Array:
+        """Encode positions ``x`` (N, D) in [0,1] → (N, L·F) features.
+
+        ``max_level`` implements the reference's coarse-to-fine
+        ``set_max_level`` (levels above are zeroed, gradients included).
+        """
+        table = params["table"]
+        idx, w = self.indices_and_weights(x)
+        feats = jnp.take_along_axis(
+            table, idx.reshape(self.n_levels, -1, 1), axis=1
+        )  # (L, N*C, F)
+        C = 1 << self.n_input_dims
+        feats = feats.reshape(self.n_levels, x.shape[0], C, self.n_features_per_level)
+        out = jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
+        if max_level is not None:
+            level_ids = jnp.arange(self.n_levels)
+            out = jnp.where((level_ids <= max_level)[:, None, None], out, 0.0)
+        # level-major feature layout, matching tcnn's output ordering
+        return jnp.transpose(out, (1, 0, 2)).reshape(x.shape[0], -1)
+
+
+def _sh_basis_deg4(d: jax.Array) -> jax.Array:
+    """Real spherical-harmonics basis, degrees 0..3 (16 coefficients), on
+    unit directions ``d`` (N, 3). Hardcoded-polynomial form as used by tcnn's
+    SphericalHarmonics encoding (standard public SH constants)."""
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    xy, xz, yz = x * y, x * z, y * z
+    x2, y2, z2 = x * x, y * y, z * z
+    cols = [
+        jnp.full_like(x, 0.28209479177387814),            # l=0
+        -0.48860251190291987 * y,                          # l=1
+        0.48860251190291987 * z,
+        -0.48860251190291987 * x,
+        1.0925484305920792 * xy,                           # l=2
+        -1.0925484305920792 * yz,
+        0.94617469575755997 * z2 - 0.31539156525251999,
+        -1.0925484305920792 * xz,
+        0.54627421529603959 * (x2 - y2),
+        0.59004358992664352 * y * (-3.0 * x2 + y2),        # l=3
+        2.8906114426405538 * xy * z,
+        0.45704579946446572 * y * (1.0 - 5.0 * z2),
+        0.3731763325901154 * z * (5.0 * z2 - 3.0),
+        0.45704579946446572 * x * (1.0 - 5.0 * z2),
+        1.4453057213202769 * z * (x2 - y2),
+        0.59004358992664352 * x * (-x2 + 3.0 * y2),
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+@dataclass(frozen=True)
+class SphericalHarmonicsEncoding(Encoding):
+    """SH encoding of directions given in the reference's warped [0,1]³ form
+    (``warp_direction`` in ``testbed_nerf.cu:389-431``): internally mapped to
+    [-1,1] before basis evaluation, like tcnn."""
+
+    n_input_dims: int = 3
+    degree: int = 4
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.degree * self.degree
+
+    def __call__(self, params, x: jax.Array) -> jax.Array:
+        d = x * 2.0 - 1.0
+        basis = _sh_basis_deg4(d)
+        return basis[:, : self.n_output_dims]
+
+
+@dataclass(frozen=True)
+class IdentityEncoding(Encoding):
+    n_input_dims: int = 3
+    scale: float = 1.0
+    offset: float = 0.0
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims
+
+    def __call__(self, params, x: jax.Array) -> jax.Array:
+        return x * self.scale + self.offset
+
+
+@dataclass(frozen=True)
+class FrequencyEncoding(Encoding):
+    """NeRF-style frequency encoding: per dim, (sin, cos) of ``x·π·2^f``."""
+
+    n_input_dims: int = 3
+    n_frequencies: int = 12
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims * self.n_frequencies * 2
+
+    def __call__(self, params, x: jax.Array) -> jax.Array:
+        freqs = jnp.asarray(
+            [2.0 ** f for f in range(self.n_frequencies)], jnp.float32
+        )
+        ang = x[:, :, None] * freqs[None, None, :] * jnp.pi  # (N, D, F)
+        out = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # (N, D, F, 2)
+        return out.reshape(x.shape[0], -1)
+
+
+@dataclass(frozen=True)
+class TriangleWaveEncoding(Encoding):
+    """Triangle-wave encoding (cheap frequency alternative used by tcnn)."""
+
+    n_input_dims: int = 3
+    n_frequencies: int = 12
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims * self.n_frequencies
+
+    def __call__(self, params, x: jax.Array) -> jax.Array:
+        freqs = jnp.asarray(
+            [2.0 ** f for f in range(self.n_frequencies)], jnp.float32
+        )
+        v = x[:, :, None] * freqs[None, None, :] / 2.0
+        frac = v - jnp.floor(v)
+        tri = jnp.abs(frac * 2.0 - 1.0) * 2.0 - 1.0
+        return tri.reshape(x.shape[0], -1)
+
+
+@dataclass(frozen=True)
+class OneBlobEncoding(Encoding):
+    """OneBlob encoding (Müller et al., Neural Importance Sampling): each
+    input in [0,1] is splatted as a gaussian-ish blob integrated over
+    ``n_bins`` uniform bins. We use the quartic kernel CDF like tcnn."""
+
+    n_input_dims: int = 3
+    n_bins: int = 16
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims * self.n_bins
+
+    def __call__(self, params, x: jax.Array) -> jax.Array:
+        n = self.n_bins
+        edges = jnp.arange(n + 1, dtype=jnp.float32) / n  # (n+1,)
+        # Quartic kernel with radius 1/n centered at x; CDF evaluated at edges.
+        def cdf(t):
+            # t in kernel-local coords, kernel support [-1, 1]
+            u = jnp.clip(t, -1.0, 1.0)
+            return 0.5 + u * (15.0 / 16.0 + u * u * (-10.0 / 16.0 + u * u * 3.0 / 16.0))
+
+        scale = n / 2.0  # kernel radius = 2 bins, like tcnn's ONE_BLOB radius
+        t = (edges[None, None, :] - x[:, :, None]) * scale
+        c = cdf(t)
+        out = c[:, :, 1:] - c[:, :, :-1]  # (N, D, n)
+        return out.reshape(x.shape[0], -1)
+
+
+@dataclass
+class CompositeEncoding(Encoding):
+    """Concatenation of nested encodings over disjoint input slices, matching
+    tcnn's Composite (used for the reference's dir encoding: SH on the first
+    3 dims + Identity on the latent extras, ``configs/nerf/base.json``)."""
+
+    nested: Sequence[tuple[Encoding, int]] = field(default_factory=list)
+    # each entry: (encoding, n_dims_to_encode)
+
+    @property
+    def n_input_dims(self) -> int:
+        return sum(n for _, n in self.nested)
+
+    @property
+    def n_output_dims(self) -> int:
+        return sum(e.n_output_dims for e, _ in self.nested)
+
+    @property
+    def n_params(self) -> int:
+        return sum(e.n_params for e, _ in self.nested)
+
+    def init(self, key: jax.Array):
+        keys = jax.random.split(key, max(len(self.nested), 1))
+        return {f"nested_{i}": e.init(keys[i]) for i, (e, _) in enumerate(self.nested)}
+
+    def __call__(self, params, x: jax.Array) -> jax.Array:
+        outs, off = [], 0
+        for i, (enc, ndims) in enumerate(self.nested):
+            outs.append(enc(params[f"nested_{i}"], x[:, off : off + ndims]))
+            off += ndims
+        return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngp_tpu.models.encodings import (
+    CompositeEncoding,
+    FrequencyEncoding,
+    GridEncoding,
+    IdentityEncoding,
+    OneBlobEncoding,
+    SphericalHarmonicsEncoding,
+    TriangleWaveEncoding,
+)
+
+
+def test_grid_geometry_matches_tcnn_convention():
+    enc = GridEncoding(n_levels=16, base_resolution=16, per_level_scale=2.0)
+    scales, res, sizes, hashed = enc._level_geometry()
+    assert res[0] == 16  # ceil(16-1)+1
+    assert res[1] == 32
+    assert not hashed[0]  # 16^3 = 4096 < 2^19
+    assert hashed[-1]  # 2^18^3 >> 2^19
+    assert enc.n_output_dims == 32
+
+
+def test_hashgrid_forward_shape_and_interp():
+    enc = GridEncoding(n_levels=4, n_features_per_level=2, base_resolution=4,
+                       log2_hashmap_size=10, per_level_scale=2.0)
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    y = enc(params, x)
+    assert y.shape == (128, 8)
+    assert jnp.all(jnp.isfinite(y))
+
+
+def test_hashgrid_trilinear_exactness():
+    """At exact grid vertices the encoding must equal the stored feature."""
+    enc = GridEncoding(n_levels=1, n_features_per_level=2, base_resolution=4,
+                       log2_hashmap_size=12, per_level_scale=2.0)
+    params = enc.init(jax.random.PRNGKey(0))
+    scales, res, sizes, hashed = enc._level_geometry()
+    scale, r = float(scales[0]), int(res[0])
+    # Choose positions that land exactly on integer grid coords:
+    # pos*scale + 0.5 = k  =>  pos = (k - 0.5)/scale
+    ks = np.array([[1, 2, 3], [0, 1, 2]], np.float32)
+    pos = (ks - 0.5) / scale
+    y = enc(params, jnp.asarray(pos))
+    table = params["table"][0]
+    for row, k in zip(np.asarray(y), ks):
+        idx = int(k[0] + k[1] * r + k[2] * r * r) % int(sizes[0])
+        np.testing.assert_allclose(row, np.asarray(table[idx]), rtol=1e-5)
+
+
+def test_hashgrid_grad_scatter():
+    """Gradients w.r.t. the table must be nonzero only for touched corners,
+    and match finite differences."""
+    enc = GridEncoding(n_levels=2, n_features_per_level=1, base_resolution=4,
+                       log2_hashmap_size=8, per_level_scale=2.0)
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.asarray([[0.3, 0.6, 0.1]])
+
+    def f(table):
+        return jnp.sum(enc({"table": table}, x) ** 2)
+
+    g = jax.grad(f)(params["table"])
+    assert jnp.sum(g != 0) <= 2 * 8  # at most 8 corners per level
+    # finite differences on one touched entry
+    nz = np.argwhere(np.asarray(g) != 0)[0]
+    eps = 1e-3
+    t0 = params["table"]
+    tp = t0.at[tuple(nz)].add(eps)
+    tm = t0.at[tuple(nz)].add(-eps)
+    fd = (f(tp) - f(tm)) / (2 * eps)
+    np.testing.assert_allclose(float(g[tuple(nz)]), float(fd), rtol=1e-2)
+
+
+def test_grid_max_level_masking():
+    enc = GridEncoding(n_levels=4, n_features_per_level=2, base_resolution=4,
+                       log2_hashmap_size=10)
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+    y = enc(params, x, max_level=1)
+    y_full = enc(params, x)
+    np.testing.assert_allclose(y[:, :4], y_full[:, :4], rtol=1e-6)
+    assert jnp.all(y[:, 4:] == 0)
+
+
+def test_dense_vs_hash_grid_types():
+    for gt in ["Dense", "Tiled", "Hash"]:
+        enc = GridEncoding(n_levels=2, base_resolution=4, grid_type=gt,
+                           log2_hashmap_size=6)
+        params = enc.init(jax.random.PRNGKey(0))
+        y = enc(params, jax.random.uniform(jax.random.PRNGKey(1), (16, 3)))
+        assert y.shape == (16, 4)
+
+
+def test_grid_2d():
+    enc = GridEncoding(n_input_dims=2, n_levels=8, base_resolution=16,
+                       log2_hashmap_size=15, per_level_scale=1.5)
+    params = enc.init(jax.random.PRNGKey(0))
+    y = enc(params, jax.random.uniform(jax.random.PRNGKey(1), (32, 2)))
+    assert y.shape == (32, 16)
+    assert jnp.all(jnp.isfinite(y))
+
+
+def test_sh_encoding_orthonormality():
+    """SH basis functions should be orthonormal under the sphere measure."""
+    enc = SphericalHarmonicsEncoding(degree=4)
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (200000, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    basis = enc({}, (d + 1.0) * 0.5)
+    gram = (basis.T @ basis) / d.shape[0] * (4 * jnp.pi)
+    np.testing.assert_allclose(np.asarray(gram), np.eye(16), atol=0.15)
+
+
+def test_frequency_encoding():
+    enc = FrequencyEncoding(n_input_dims=2, n_frequencies=3)
+    y = enc({}, jnp.asarray([[0.25, 0.5]]))
+    assert y.shape == (1, 12)
+    # first pair is sin/cos of pi*x
+    np.testing.assert_allclose(float(y[0, 0]), np.sin(np.pi * 0.25), rtol=1e-5)
+    np.testing.assert_allclose(float(y[0, 1]), np.cos(np.pi * 0.25), rtol=1e-5)
+
+
+def test_oneblob_partition_of_unity():
+    enc = OneBlobEncoding(n_input_dims=1, n_bins=16)
+    x = jnp.linspace(0.2, 0.8, 7)[:, None]
+    y = enc({}, x)
+    np.testing.assert_allclose(np.asarray(jnp.sum(y, axis=-1)), 1.0, atol=1e-3)
+
+
+def test_composite_encoding():
+    comp = CompositeEncoding(nested=[
+        (SphericalHarmonicsEncoding(degree=4), 3),
+        (IdentityEncoding(n_input_dims=2), 2),
+    ])
+    assert comp.n_input_dims == 5
+    assert comp.n_output_dims == 18
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 5))
+    y = comp(comp.init(jax.random.PRNGKey(1)), x)
+    assert y.shape == (4, 18)
+    np.testing.assert_allclose(np.asarray(y[:, 16:]), np.asarray(x[:, 3:]), rtol=1e-6)
+
+
+def test_trianglewave():
+    enc = TriangleWaveEncoding(n_input_dims=1, n_frequencies=2)
+    y = enc({}, jnp.asarray([[0.5]]))
+    assert y.shape == (1, 2)
