@@ -66,17 +66,24 @@ def scale_by_adam_skip_zero(
         bc1 = 1.0 - b1 ** c
         bc2 = 1.0 - b2 ** c
 
-        def upd(g, mu, nu):
-            nz = g != 0.0
-            new_mu = jnp.where(nz, b1 * mu + (1 - b1) * g, mu)
-            new_nu = jnp.where(nz, b2 * nu + (1 - b2) * g * g, nu)
-            step = (new_mu / bc1) / (jnp.sqrt(new_nu / bc2) + eps)
-            return jnp.where(nz, step, 0.0), new_mu, new_nu
-
-        out = jax.tree.map(upd, updates, state.mu, state.nu)
-        steps = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
-        mu = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
-        nu = jax.tree.map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+        mu = jax.tree.map(
+            lambda g, m: jnp.where(g != 0.0, b1 * m + (1 - b1) * g, m),
+            updates,
+            state.mu,
+        )
+        nu = jax.tree.map(
+            lambda g, v: jnp.where(g != 0.0, b2 * v + (1 - b2) * g * g, v),
+            updates,
+            state.nu,
+        )
+        steps = jax.tree.map(
+            lambda g, m, v: jnp.where(
+                g != 0.0, (m / bc1) / (jnp.sqrt(v / bc2) + eps), 0.0
+            ),
+            updates,
+            mu,
+            nu,
+        )
         return steps, _AdamSkipZeroState(count, mu, nu)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -52,6 +52,7 @@ class Trainer:
         self.tx, self.ema_decay, self.lr_schedule = make_optimizer(
             self.optimizer_cfg, grid_label_fn=default_grid_label_fn
         )
+        self._jitted_step = jax.jit(self._training_step, donate_argnums=0)
 
     def init(self, params) -> TrainState:
         return TrainState(
@@ -67,8 +68,10 @@ class Trainer:
         # tcnn normalizes by the number of loss elements.
         return jnp.mean(losses)
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def training_step(self, state: TrainState, inputs, targets):
+        return self._jitted_step(state, inputs, targets)
+
+    def _training_step(self, state: TrainState, inputs, targets):
         loss, grads = jax.value_and_grad(self.loss)(state.params, inputs, targets)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
