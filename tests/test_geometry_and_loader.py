@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngp_tpu.data.nerf_loader import (
+    load_nerf,
+    nerf_matrix_to_ngp,
+    ngp_matrix_to_nerf,
+)
+from ngp_tpu.geometry.aabb import AABB
+from ngp_tpu.geometry.camera import (
+    LENS_OPENCV,
+    Lens,
+    fov_to_focal_length,
+    iterative_undistortion,
+    opencv_lens_distortion_delta,
+    uv_to_ray,
+)
+
+FOX = "/root/reference/data/nerf/fox"
+
+
+def test_aabb_ray_intersect():
+    box = AABB.unit()
+    o = jnp.asarray([[-1.0, 0.5, 0.5], [0.5, 0.5, 0.5], [2.0, 2.0, 2.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    tmin, tmax = box.ray_intersect(o, d)
+    np.testing.assert_allclose(np.asarray(tmin), [1.0, 0.0, np.inf][:2] + [np.asarray(tmin)[2]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tmax)[:2], [2.0, 0.5], rtol=1e-6)
+    assert float(tmin[2]) > float(tmax[2])  # miss
+
+
+def test_aabb_warp_roundtrip():
+    box = AABB.from_scale(8)
+    p = jnp.asarray([[0.3, -1.2, 2.0]])
+    np.testing.assert_allclose(
+        np.asarray(box.unwarp(box.relative_pos(p))), np.asarray(p), rtol=1e-5
+    )
+
+
+def test_matrix_conversion_roundtrip():
+    rng = np.random.RandomState(0)
+    m = rng.randn(3, 4).astype(np.float32)
+    scale, offset = 0.33, np.array([0.5, 0.5, 0.5], np.float32)
+    ngp = nerf_matrix_to_ngp(m, scale, offset)
+    back = ngp_matrix_to_nerf(ngp, scale, offset)
+    np.testing.assert_allclose(back, m, atol=1e-5)
+
+
+def test_undistortion_inverts_distortion():
+    params = jnp.asarray([0.0578421, -0.0805099, -0.000980296, 0.00015575, 0, 0, 0])
+    u = jnp.linspace(-0.4, 0.4, 9)
+    v = jnp.linspace(-0.3, 0.3, 9)
+    du, dv = opencv_lens_distortion_delta(params, u, v)
+    xu, xv = iterative_undistortion(
+        opencv_lens_distortion_delta, params, u + du, v + dv
+    )
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xv), np.asarray(v), atol=1e-6)
+
+
+def test_uv_to_ray_pinhole_center():
+    cm = jnp.concatenate([jnp.eye(3), jnp.asarray([[1.0], [2.0], [3.0]])], axis=1)
+    o, d = uv_to_ray(
+        jnp.asarray([[0.5, 0.5]]),
+        (100, 100),
+        jnp.asarray([100.0, 100.0]),
+        cm,
+        jnp.asarray([0.5, 0.5]),
+    )
+    np.testing.assert_allclose(np.asarray(o[0]), [1, 2, 3], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d[0]), [0, 0, 1], atol=1e-7)
+
+
+def test_fov_focal_roundtrip():
+    f = fov_to_focal_length(1080, 50.0)
+    from ngp_tpu.geometry.camera import focal_length_to_fov
+
+    np.testing.assert_allclose(focal_length_to_fov(1080, f), 50.0, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_load_fox_dataset():
+    ds = load_nerf(FOX)
+    assert ds.n_images == 50
+    assert ds.resolution == (1080, 1920)
+    assert ds.aabb_scale == 8
+    assert ds.lens.mode == LENS_OPENCV
+    np.testing.assert_allclose(ds.lens.params[0], 0.0578421, rtol=1e-5)
+    assert ds.images.shape == (50, 1920, 1080, 4)
+    assert ds.images.dtype == np.uint8
+    np.testing.assert_allclose(ds.focal_lengths[0], [1375.52, 1374.49], rtol=1e-5)
+    # camera positions should be in the [0,1]-ish cube after conversion
+    cams = ds.xforms[:, 0, :, 3]
+    assert cams.min() > -4 and cams.max() < 5
+    # rotation should stay orthonormal after conversion
+    R = ds.xforms[0, 0, :, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
