@@ -1,0 +1,179 @@
+"""Ray marching — TPU-native "exponential-lattice" parallel formulation.
+
+The reference marches rays sequentially (``generate_training_samples_nerf``,
+``src/testbed_nerf.cu:1382-1658``): take a cone-angle-dependent step ``dt``
+when the occupancy grid is occupied, else DDA-skip to the next voxel
+boundary *rounded up to an integer number of steps in "stepping space"*
+(``advance_to_next_voxel``, ``testbed_nerf.cu:298-316``).
+
+Key observation that makes this embarrassingly parallel on TPU: because both
+the step (+1) and every skip (+ceil(·)) advance by an **integer** amount in
+stepping space, every position a ray can ever visit lies on the fixed
+lattice ``t_k = from_stepping_space(n0 + k)``, ``k ∈ ℕ``, where ``n0`` is
+the (jittered) start. Moreover the bitfield's max-pool construction
+guarantees "empty at a coarse mip ⟹ empty at all finer mips in its
+footprint", so a lattice point is sampled by the sequential march **iff**
+its own occupancy test passes. Sequential DDA therefore reduces to: evaluate
+occupancy at all lattice points in parallel, keep the occupied ones. No
+wavefront loop, no compaction atomics, no host syncs — one gather, one
+cumsum, one scatter.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.ops.occupancy import (
+    MAX_CONE_STEPSIZE,
+    MIN_CONE_STEPSIZE,
+    mip_from_dt,
+    occupied_at,
+)
+
+
+class SteppingSpace(NamedTuple):
+    """Closed-form t ↔ step-count transform (``to/from_stepping_space``,
+    ``testbed_nerf.cu:125-167``): linear at ``MIN_CONE_STEPSIZE`` near the
+    camera, exponential (factor ``1+cone_angle`` per step) in between,
+    linear at ``MAX_CONE_STEPSIZE`` far away. ``cone_angle`` is static
+    per scene (0 for unit scenes, 1/256 otherwise, ``load_nerf_post``)."""
+
+    cone_angle: float
+    min_step: float
+    max_step: float
+    a: float
+    b: float
+    at: float
+    bt: float
+    log1p_c: float
+
+    @staticmethod
+    def make(
+        cone_angle: float,
+        min_step: float = MIN_CONE_STEPSIZE,
+        max_step: float = MAX_CONE_STEPSIZE,
+    ) -> "SteppingSpace":
+        if cone_angle <= 1e-5:
+            return SteppingSpace(cone_angle, min_step, max_step, 0.0, 0.0, 0.0, 0.0, 0.0)
+        log1p_c = math.log(1.0 + cone_angle)
+        a = (math.log(min_step) - math.log(log1p_c)) / log1p_c
+        b = (math.log(max_step) - math.log(log1p_c)) / log1p_c
+        return SteppingSpace(
+            cone_angle, min_step, max_step,
+            a, b, math.exp(a * log1p_c), math.exp(b * log1p_c), log1p_c,
+        )
+
+    def to_steps(self, t: jax.Array) -> jax.Array:
+        if self.cone_angle <= 1e-5:
+            return t / self.min_step
+        mid = jnp.log(jnp.maximum(t, 1e-20)) / self.log1p_c
+        lo = (t - self.at) / self.min_step + self.a
+        hi = (t - self.bt) / self.max_step + self.b
+        return jnp.where(t <= self.at, lo, jnp.where(t <= self.bt, mid, hi))
+
+    def from_steps(self, n: jax.Array) -> jax.Array:
+        if self.cone_angle <= 1e-5:
+            return n * self.min_step
+        mid = jnp.exp(n * self.log1p_c)
+        lo = (n - self.a) * self.min_step + self.at
+        hi = (n - self.b) * self.max_step + self.bt
+        return jnp.where(n <= self.a, lo, jnp.where(n <= self.b, mid, hi))
+
+
+def warp_dt(dt: jax.Array) -> jax.Array:
+    """dt → [0,1] network input (``warp_dt``, ``testbed_nerf.cu:412-417``)."""
+    max_step = MIN_CONE_STEPSIZE * 128.0
+    return (dt - MIN_CONE_STEPSIZE) / (max_step - MIN_CONE_STEPSIZE)
+
+
+def unwarp_dt(dt: jax.Array) -> jax.Array:
+    max_step = MIN_CONE_STEPSIZE * 128.0
+    return dt * (max_step - MIN_CONE_STEPSIZE) + MIN_CONE_STEPSIZE
+
+
+def warp_direction(d: jax.Array) -> jax.Array:
+    """Unit direction → [0,1]³ (``warp_direction``)."""
+    return (d + 1.0) * 0.5
+
+
+class MarchedRays(NamedTuple):
+    """Per-ray compacted samples with static shapes (N rays × K slots)."""
+
+    t: jax.Array  # (N, K) sample distances along the (normalized) ray
+    dt: jax.Array  # (N, K) step sizes
+    valid: jax.Array  # (N, K) bool — slot holds a real sample
+    n_samples: jax.Array  # (N,) int32 — occupied lattice points kept (≤ K)
+    total: jax.Array  # (N,) int32 — occupied lattice points, uncapped
+    # (drives the adaptive n_rays×K bucket schedule, the static-shape
+    # counterpart of the reference's rays_per_batch adaptation,
+    # NerfCounters::update_after_training testbed_nerf.cu:3583-3609)
+    complete: jax.Array  # (N,) bool — ray left the AABB within the lattice
+    # and all its occupied points fit in K (reference: compacted == numsteps
+    # gates background compositing, testbed_nerf.cu:1822-1825)
+
+
+def march_rays(
+    origins: jax.Array,  # (N, 3)
+    dirs: jax.Array,  # (N, 3) normalized
+    bitfield: jax.Array,  # (C, G, G, G) uint8
+    aabb_min: jax.Array,  # (3,)
+    aabb_max: jax.Array,  # (3,)
+    stepping: SteppingSpace,
+    n0: jax.Array,  # (N,) stepping-space start (jittered)
+    n_lattice: int,  # M — lattice points examined per ray (static)
+    n_samples: int,  # K — max samples kept per ray (static)
+    max_mip: int,
+) -> MarchedRays:
+    """Evaluate occupancy at all exponential-lattice points in parallel and
+    compact the first K occupied ones per ray. Exactly reproduces the
+    sequential DDA march of the reference (see module docstring)."""
+    N = origins.shape[0]
+    G = bitfield.shape[1]
+    k = jnp.arange(n_lattice, dtype=jnp.float32)
+    n = n0[:, None] + k[None, :]  # (N, M)
+    t = stepping.from_steps(n)
+    dt = stepping.from_steps(n + 1.0) - t
+    pos = origins[:, None, :] + dirs[:, None, :] * t[..., None]  # (N, M, 3)
+
+    inside = jnp.all((pos >= aabb_min) & (pos <= aabb_max), axis=-1)
+    # Stop at the first exit (the AABB is convex; this also guards numerics).
+    before_exit = jnp.cumprod(inside.astype(jnp.int32), axis=1).astype(bool)
+    exited = ~jnp.all(inside, axis=1)
+
+    mip = mip_from_dt(dt, pos, max_mip, G)
+    occ = occupied_at(bitfield, pos, mip) & before_exit
+
+    cnt = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    slot = cnt - 1
+    keep = occ & (slot < n_samples)
+    ray_ids = jnp.arange(N, dtype=jnp.int32)[:, None]
+    flat_target = jnp.where(keep, ray_ids * n_samples + slot, N * n_samples)
+
+    def compact(x):
+        out = jnp.zeros((N * n_samples,), x.dtype)
+        return out.at[flat_target.reshape(-1)].set(
+            x.reshape(-1), mode="drop"
+        ).reshape(N, n_samples)
+
+    t_c = compact(t)
+    dt_c = compact(dt)
+    total = cnt[:, -1]
+    kept = jnp.minimum(total, n_samples)
+    valid = jnp.arange(n_samples)[None, :] < kept[:, None]
+    complete = exited & (total <= n_samples)
+    return MarchedRays(t_c, dt_c, valid, kept, total, complete)
+
+
+def ray_aabb_range(origins, dirs, aabb_min, aabb_max):
+    """Slab test returning (tmin ≥ 0, tmax); misses have tmin > tmax
+    (``BoundingBox::ray_intersect`` semantics)."""
+    inv = 1.0 / dirs
+    t0 = (aabb_min - origins) * inv
+    t1 = (aabb_max - origins) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return jnp.maximum(tmin, 0.0), tmax

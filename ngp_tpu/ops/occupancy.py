@@ -1,0 +1,292 @@
+"""Cascaded occupancy grid — TPU-native re-design of the reference's
+density-grid machinery (``src/testbed_nerf.cu:433-812, 3412-3567``).
+
+The reference keeps a Morton-indexed float grid plus a packed bitfield with
+max-pooled mips, updated by atomic scatter-max. Here the grid is a dense
+``(C, G, G, G)`` float32 array in plain row-major order (Morton buys nothing
+on TPU — gathers are gathers), the "bitfield" is a uint8 0/1 array of the
+same shape, and every update step is a vectorized scatter-max / EMA /
+reduce-window — no atomics, fully deterministic.
+
+Cascade semantics match the reference exactly: cascade ``c`` covers the cube
+of half-extent ``2^(c-1)`` around (0.5,)³; a position's canonical cascade is
+``mip_from_pos``; marching queries ``mip_from_dt``; coarser cascades OR in
+the max-pool of the finer cascade over their central half
+(``bitfield_max_pool``, ``testbed_nerf.cu:788``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Reference constants (src/testbed_nerf.cu:55-100, nerf.h:24-30).
+NERF_GRIDSIZE = 128
+NERF_CASCADES = 8
+SQRT3 = 1.73205080757
+NERF_STEPS = 1024
+MIN_CONE_STEPSIZE = SQRT3 / NERF_STEPS
+MAX_CONE_STEPSIZE = MIN_CONE_STEPSIZE * (1 << (NERF_CASCADES - 1)) * NERF_STEPS / NERF_GRIDSIZE
+NERF_MIN_OPTICAL_THICKNESS = 0.01
+MAX_DEPTH = 16384.0
+
+
+@dataclass(frozen=True)
+class OccupancyGridConfig:
+    grid_size: int = NERF_GRIDSIZE
+    n_cascades: int = 1  # max_cascade + 1 (static; reference allocates 8, uses this many)
+    decay: float = 0.95  # density_grid_decay (testbed.h:741)
+
+    @property
+    def n_cells(self) -> int:
+        return self.grid_size ** 3
+
+    @property
+    def max_mip(self) -> int:
+        return self.n_cascades - 1
+
+
+class OccupancyGridState(NamedTuple):
+    """density: (C, G, G, G) f32, -1 marks camera-culled cells
+    (``mark_untrained_density_grid``); bitfield: same shape uint8 0/1;
+    mean_density: scalar f32 over cascade 0; ema_step: int32 counter."""
+
+    density: jax.Array
+    bitfield: jax.Array
+    mean_density: jax.Array
+    ema_step: jax.Array
+
+
+def init_grid_state(cfg: OccupancyGridConfig) -> OccupancyGridState:
+    G, C = cfg.grid_size, cfg.n_cascades
+    return OccupancyGridState(
+        density=jnp.zeros((C, G, G, G), jnp.float32),
+        bitfield=jnp.zeros((C, G, G, G), jnp.uint8),
+        mean_density=jnp.zeros([], jnp.float32),
+        ema_step=jnp.zeros([], jnp.int32),
+    )
+
+
+def mip_from_pos(pos: jax.Array, max_mip: int) -> jax.Array:
+    """Canonical cascade of a scene-space position: the smallest cascade cube
+    containing it (``mip_from_pos``, ``testbed_nerf.cu:614-621``). ``pos``
+    is (..., 3); returns (...,) int32."""
+    maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+    # frexp exponent: maxval = f * 2^e with f in [0.5, 1).
+    e = jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-10))).astype(jnp.int32) + 1
+    return jnp.clip(e + 1, 0, max_mip)
+
+
+def mip_from_dt(dt: jax.Array, pos: jax.Array, max_mip: int, grid_size: int = NERF_GRIDSIZE) -> jax.Array:
+    """Cascade used while marching: at least the canonical cascade, coarser
+    if the step dt spans more than one fine cell
+    (``mip_from_dt``, ``testbed_nerf.cu:623-633``)."""
+    mip = mip_from_pos(pos, max_mip)
+    dtx = dt * (2 * grid_size)
+    e = jnp.floor(jnp.log2(jnp.maximum(dtx, 1e-10))).astype(jnp.int32) + 1
+    return jnp.where(dtx < 1.0, mip, jnp.clip(jnp.maximum(mip, e), 0, max_mip))
+
+
+def cell_index_at(pos: jax.Array, mip: jax.Array, grid_size: int):
+    """(cell xyz int32 (...,3), valid (...,)) for scene positions at cascade
+    ``mip`` — ``cascaded_grid_idx_at`` (``testbed_nerf.cu:433-447``) minus
+    the Morton packing."""
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    p = (pos - 0.5) * mip_scale + 0.5
+    cell = jnp.floor(p * grid_size).astype(jnp.int32)
+    valid = jnp.all((cell >= 0) & (cell < grid_size), axis=-1)
+    return cell, valid
+
+
+def occupied_at(bitfield: jax.Array, pos: jax.Array, mip: jax.Array) -> jax.Array:
+    """Occupancy lookup (``density_grid_occupied_at``,
+    ``testbed_nerf.cu:449-457``): one flat gather from the uint8 grid."""
+    C, G = bitfield.shape[0], bitfield.shape[1]
+    cell, valid = cell_index_at(pos, mip, G)
+    flat = ((mip * G + cell[..., 0]) * G + cell[..., 1]) * G + cell[..., 2]
+    flat = jnp.where(valid, flat, 0)
+    occ = jnp.take(bitfield.reshape(-1), flat) > 0
+    return occ & valid
+
+
+def density_grid_cell_positions(cfg: OccupancyGridConfig, cell_xyz: jax.Array, mip: jax.Array, jitter: jax.Array) -> jax.Array:
+    """Scene-space position of ``cell_xyz`` + ``jitter``∈[0,1)³ at cascade
+    ``mip`` (inverse of ``cell_index_at``; matches
+    ``generate_grid_samples_nerf_nonuniform``, ``testbed_nerf.cu:635-676``)."""
+    G = cfg.grid_size
+    p = (cell_xyz.astype(jnp.float32) + jitter) / G
+    return (p - 0.5) * jnp.exp2(mip.astype(jnp.float32))[..., None] + 0.5
+
+
+def build_bitfield(density: jax.Array, mean_density: jax.Array) -> jax.Array:
+    """Threshold the float grid and OR each cascade's max-pool into the next
+    coarser cascade's central half (``grid_to_bitfield`` +
+    ``bitfield_max_pool``, ``testbed_nerf.cu:762-812``)."""
+    C, G = density.shape[0], density.shape[1]
+    thresh = jnp.minimum(NERF_MIN_OPTICAL_THICKNESS, mean_density)
+    bits = density > thresh  # (C, G, G, G) bool
+    levels = [bits[0]]
+    q = G // 4
+    for c in range(1, C):
+        pooled = levels[-1].reshape(G // 2, 2, G // 2, 2, G // 2, 2).any(axis=(1, 3, 5))
+        merged = bits[c].at[q : 3 * q, q : 3 * q, q : 3 * q].max(pooled)
+        levels.append(merged)
+    return jnp.stack(levels).astype(jnp.uint8)
+
+
+def ema_update_density(density: jax.Array, splat: jax.Array, decay: float) -> jax.Array:
+    """``grid = max(grid·decay, new)``, preserving the -1 culled marker
+    (``ema_grid_samples_nerf``, ``testbed_nerf.cu:731-745``)."""
+    return jnp.where(density < 0.0, density, jnp.maximum(density * decay, splat))
+
+
+def splat_max(cfg: OccupancyGridConfig, flat_idx: jax.Array, values: jax.Array) -> jax.Array:
+    """Scatter-max sampled optical thicknesses into a zeroed temp grid
+    (``splat_grid_samples_nerf_max_nearest_neighbor``,
+    ``testbed_nerf.cu:678-707``) — XLA scatter-max instead of atomicMax."""
+    G, C = cfg.grid_size, cfg.n_cascades
+    tmp = jnp.zeros((C * G * G * G,), jnp.float32)
+    tmp = tmp.at[flat_idx].max(values)
+    return tmp.reshape(C, G, G, G)
+
+
+def sample_update_cells(
+    cfg: OccupancyGridConfig,
+    key: jax.Array,
+    density: jax.Array,
+    n_uniform: int,
+    n_nonuniform: int,
+):
+    """Pick grid cells to re-query this update: ``n_uniform`` cells uniform
+    over all trained cells, ``n_nonuniform`` biased to currently-occupied
+    cells via up-to-10 probes (``generate_grid_samples_nerf_nonuniform``,
+    ``testbed_nerf.cu:635-676``). Returns (flat_idx (N,), positions (N,3))
+    in scene space; positions are jittered within the cell."""
+    G, C = cfg.grid_size, cfg.n_cascades
+    n_cells = G * G * G
+    n = n_uniform + n_nonuniform
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mip = jax.random.randint(k1, (n,), 0, C)
+
+    # 10 probe candidates each; uniform samples accept any non-culled cell
+    # (thresh -0.01), nonuniform ones require density > threshold.
+    probes = jax.random.randint(k2, (n, 10), 0, n_cells)
+    flat_probes = mip[:, None] * n_cells + probes
+    vals = jnp.take(density.reshape(-1), flat_probes)
+    thresh = jnp.where(
+        jnp.arange(n) < n_uniform, -0.01, NERF_MIN_OPTICAL_THICKNESS
+    )
+    ok = vals > thresh[:, None]
+    # First passing probe, else the last one — like the reference's loop.
+    first = jnp.argmax(ok, axis=1)
+    pick = jnp.where(jnp.any(ok, axis=1), first, 9)
+    cell_flat = jnp.take_along_axis(probes, pick[:, None], axis=1)[:, 0]
+    flat_idx = mip * n_cells + cell_flat
+
+    cx = cell_flat // (G * G)
+    cy = (cell_flat // G) % G
+    cz = cell_flat % G
+    cell_xyz = jnp.stack([cx, cy, cz], axis=-1)
+    jitter = jax.random.uniform(k3, (n, 3))
+    pos = density_grid_cell_positions(cfg, cell_xyz, mip, jitter)
+    return flat_idx, pos
+
+
+def all_cells(cfg: OccupancyGridConfig, key: jax.Array):
+    """Every cell of every cascade once (the reference's warmup updates use
+    ``n_uniform = G³·n_cascades``); jittered positions."""
+    G, C = cfg.grid_size, cfg.n_cascades
+    n_cells = G * G * G
+    flat_idx = jnp.arange(C * n_cells, dtype=jnp.int32)
+    cell_flat = flat_idx % n_cells
+    mip = flat_idx // n_cells
+    cx = cell_flat // (G * G)
+    cy = (cell_flat // G) % G
+    cz = cell_flat % G
+    cell_xyz = jnp.stack([cx, cy, cz], axis=-1)
+    jitter = jax.random.uniform(key, (C * n_cells, 3))
+    pos = density_grid_cell_positions(cfg, cell_xyz, mip, jitter)
+    return flat_idx, pos
+
+
+def update_grid_state(
+    cfg: OccupancyGridConfig,
+    state: OccupancyGridState,
+    flat_idx: jax.Array,
+    sampled_density: jax.Array,
+) -> OccupancyGridState:
+    """Merge freshly queried MLP densities into the grid and rebuild the
+    bitfield (``update_density_grid_nerf`` tail +
+    ``update_density_grid_mean_and_bitfield``,
+    ``testbed_nerf.cu:3500-3567``). ``sampled_density`` is the *activated*
+    density; optical thickness uses the finest step size (level 0), like the
+    reference."""
+    optical_thickness = sampled_density * MIN_CONE_STEPSIZE
+    tmp = splat_max(cfg, flat_idx, optical_thickness)
+    density = ema_update_density(state.density, tmp, cfg.decay)
+    mean_density = jnp.mean(jnp.maximum(density[0], 0.0))
+    bitfield = build_bitfield(density, mean_density)
+    return OccupancyGridState(density, bitfield, mean_density, state.ema_step + 1)
+
+
+def mark_untrained_cells(
+    cfg: OccupancyGridConfig,
+    density: jax.Array,
+    xforms: jax.Array,  # (I, 3, 4) camera-to-world (start)
+    focal_lengths: jax.Array,  # (I, 2)
+    principal_points: jax.Array,  # (I, 2) uv-space
+    resolution: tuple,  # (W, H) static
+    chunk: int = 1 << 18,
+) -> jax.Array:
+    """Set cells seen by no training camera to -1, visible cells to 1
+    (``mark_untrained_density_grid``, ``testbed_nerf.cu:503-592``). A cell is
+    visible if any of its 8 corners projects inside (0,1)² of any camera and
+    lies in front of it. Deviation: the reference additionally round-trips
+    uv→ray to reject distortion-fold cases; we use the undistorted pinhole
+    projection (distortion deltas are small inside the image)."""
+    G, C = cfg.grid_size, cfg.n_cascades
+    W, H = resolution
+    n_cells = G * G * G
+
+    cam_pos = xforms[:, :, 3]  # (I, 3)
+    cam_rot = xforms[:, :, :3]  # (I, 3, 3) columns x,y,z
+
+    def visible(corners):  # corners: (B, 8, 3) -> (B,)
+        rel = corners[:, None, :, :] - cam_pos[None, :, None, :]  # (B, I, 8, 3)
+        # camera-space coords: p_cam = R^T rel (columns of R are axes)
+        p_cam = jnp.einsum("ikc,bisk->bisc", cam_rot, rel)
+        z = p_cam[..., 2]
+        front = z > 1e-4
+        zs = jnp.where(front, z, 1.0)
+        u = p_cam[..., 0] / zs * focal_lengths[None, :, None, 0] / W + principal_points[None, :, None, 0]
+        v = p_cam[..., 1] / zs * focal_lengths[None, :, None, 1] / H + principal_points[None, :, None, 1]
+        inside = front & (u > 0) & (u < 1) & (v > 0) & (v < 1)
+        return jnp.any(inside, axis=(1, 2))
+
+    corner_offsets = jnp.asarray(
+        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], jnp.float32
+    )
+
+    flat = jnp.arange(C * n_cells, dtype=jnp.int32)
+    out = []
+    for s in range(0, C * n_cells, chunk):
+        idx = flat[s : s + chunk]
+        cell_flat = idx % n_cells
+        mip = idx // n_cells
+        cx = cell_flat // (G * G)
+        cy = (cell_flat // G) % G
+        cz = cell_flat % G
+        cell_xyz = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
+        voxel = jnp.exp2(mip.astype(jnp.float32)) / G
+        base = ((cell_xyz / G) - 0.5) * jnp.exp2(mip.astype(jnp.float32))[:, None] + 0.5
+        corners = base[:, None, :] + corner_offsets[None, :, :] * voxel[:, None, None]
+        out.append(visible(corners))
+    vis = jnp.concatenate(out).reshape(C, G, G, G)
+    # The reference's step-0 path (clear_visible_voxels=true) sets visible
+    # cells to density 1.0 — so training starts with all visible space
+    # occupied — and culled cells to -1.
+    return jnp.where(vis, 1.0, -1.0)
