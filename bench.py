@@ -1,0 +1,88 @@
+"""Benchmark: fox NeRF training throughput + quality on the available
+accelerator.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}``
+
+Baseline estimate: the reference trains "a fox NeRF in under 5 seconds" on
+an RTX 3090 (``/root/reference/README.md:5``) at batch 2^18 samples/step —
+roughly 1000 steps in ~5 s ≈ **5.2e7 training samples/s**. ``vs_baseline``
+is measured samples/s against that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+FOX = "/root/reference/data/nerf/fox"
+BASELINE_SAMPLES_PER_S = 5.2e7
+
+
+def main():
+    import jax
+
+    t_start = time.time()
+    from ngp_tpu.engines.nerf import NerfEngine
+
+    if os.path.isdir(FOX):
+        from ngp_tpu.data.nerf_loader import load_nerf
+
+        dataset = load_nerf(os.path.join(FOX, "transforms.json"))
+        scene = "fox"
+    else:
+        from __graft_entry__ import _tiny_sphere_dataset
+
+        dataset = _tiny_sphere_dataset(n_views=12, res=128)
+        scene = "synthetic-sphere"
+
+    from __graft_entry__ import _default_config
+
+    engine = NerfEngine(_default_config(), dataset, batch_size=1 << 18)
+
+    state = engine.init_state()
+    grid = engine.init_grid()
+
+    # Warmup + early training (compiles the large-K buckets).
+    warm_steps = 320
+    state, grid, _ = engine.train(state, grid, warm_steps)
+    jax.block_until_ready(state.params)
+
+    # Measured window at (mostly) stabilized batch geometry.
+    measure_steps = 512
+    t0 = time.time()
+    state, grid, metrics = engine.train(state, grid, measure_steps)
+    jax.block_until_ready(state.params)
+    dt = time.time() - t0
+
+    samples_per_s = measure_steps * engine.batch_size / dt
+    steps_per_s = measure_steps / dt
+
+    # Continue a bit, then evaluate PSNR on a training view.
+    state, grid, _ = engine.train(state, grid, 1024)
+    psnr = engine.psnr(state, grid, image_index=0, stride=4)
+
+    out = {
+        "metric": "nerf_train_samples_per_s",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
+        "extra": {
+            "scene": scene,
+            "steps_per_s": round(steps_per_s, 2),
+            "psnr_at_step_1856": round(psnr, 2),
+            "final_k": engine._k,
+            "measure_wall_s": round(dt, 2),
+            "total_wall_s": round(time.time() - t_start, 1),
+            "backend": jax.default_backend(),
+            "n_devices": jax.device_count(),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,7 +128,7 @@ class NerfEngine:
         # Lattice length: worst case is a ray entering at t=0 and crossing
         # the full AABB diagonal.
         diag = occ.SQRT3 * aabb_scale
-        span = float(self.stepping.to_steps(jnp.asarray(diag)) - self.stepping.to_steps(jnp.asarray(0.0)))
+        span = self.stepping.to_steps_scalar(diag) - self.stepping.to_steps_scalar(0.0)
         self.n_lattice = min(int(math.ceil(span)) + 2, 2048)
 
         # Activations: HDR datasets train with exponential rgb (load_nerf_post).
@@ -289,8 +289,10 @@ class NerfEngine:
         raw = self.network(params, pos_w, dir_w)
         return raw.reshape(N, K, 4)
 
-    def _train_step(self, state: TrainState, bitfield, mean_density, key, data, k: int):
-        n_rays = self.batch_size // k
+    def batch_loss_and_grads(self, params, bitfield, mean_density, key, data, k: int, n_rays: int):
+        """Sample a ray batch, march, and compute (loss, aux, grads) — the
+        shard-local core reused by both the single-chip step and the
+        data-parallel step (ngp_tpu/parallel/nerf_dp.py)."""
         batch = self._sample_ray_batch(key, data, n_rays)
         marched = march_rays(
             batch.origins,
@@ -317,8 +319,8 @@ class NerfEngine:
         a = batch.target_rgba[:, 3:4]
         target = batch.target_rgba[:, :3] * a + (1.0 - a) * bg
 
-        def loss_of(params):
-            raw = self._network_on_samples(params, batch.origins, batch.dirs, marched)
+        def loss_of(p):
+            raw = self._network_on_samples(p, batch.origins, batch.dirs, marched)
             return nerf_training_loss(
                 raw,
                 marched.dt,
@@ -335,11 +337,7 @@ class NerfEngine:
                 near_distance=self.near_distance,
             )
 
-        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = ema_update(state.ema, params, self.ema_decay, state.step)
-        new_state = TrainState(state.step + 1, params, opt_state, ema)
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
         hit = marched.total > 0
         metrics = {
             "loss": aux["loss_display"],
@@ -347,7 +345,20 @@ class NerfEngine:
             "mean_total": jnp.sum(marched.total)
             / jnp.maximum(jnp.sum(hit.astype(jnp.int32)), 1),
         }
-        return new_state, metrics
+        return loss, metrics, grads
+
+    def apply_grads(self, state: TrainState, grads) -> TrainState:
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, self.ema_decay, state.step)
+        return TrainState(state.step + 1, params, opt_state, ema)
+
+    def _train_step(self, state: TrainState, bitfield, mean_density, key, data, k: int):
+        n_rays = self.batch_size // k
+        _, metrics, grads = self.batch_loss_and_grads(
+            state.params, bitfield, mean_density, key, data, k, n_rays
+        )
+        return self.apply_grads(state, grads), metrics
 
     def train_step(self, state, grid: occ.OccupancyGridState, key):
         k = self._k
@@ -367,6 +378,22 @@ class NerfEngine:
 
     # -- occupancy maintenance (training_prep_nerf)
 
+    def chunked_density(self, params, pos_w: jax.Array, chunk: int = 1 << 19) -> jax.Array:
+        """Raw density-MLP output channel 0 for many warped positions,
+        evaluated in fixed-size chunks via ``lax.map`` so the hash
+        encoding's (L, N, 8) gather intermediates stay bounded — the
+        counterpart of the reference's ≤2·128³ batching
+        (``testbed_nerf.cu:3500-3516``)."""
+        n = pos_w.shape[0]
+        if n <= chunk:
+            return self.network.density(params, pos_w)[:, 0]
+        pad = (-n) % chunk
+        if pad:
+            pos_w = jnp.concatenate([pos_w, jnp.zeros((pad, 3), pos_w.dtype)], 0)
+        chunks = pos_w.reshape(-1, chunk, 3)
+        out = jax.lax.map(lambda p: self.network.density(params, p)[:, 0], chunks)
+        return out.reshape(-1)[:n]
+
     def _update_grid(self, params, grid: occ.OccupancyGridState, key, warmup: bool):
         if warmup:
             idx, pos = occ.all_cells(self.grid_cfg, key)
@@ -376,7 +403,7 @@ class NerfEngine:
                 self.grid_cfg, key, grid.density, n_quarter, n_quarter
             )
         pos_w = self.aabb.relative_pos(pos)
-        raw = self.network.density(params, pos_w)[:, 0]
+        raw = self.chunked_density(params, pos_w)
         sigma = density_activation(self.density_act)(raw)
         # Culled cells (-1) must not resurrect: their splat is ignored by
         # ema_update_density's where(density < 0).

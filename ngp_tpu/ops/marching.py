@@ -83,6 +83,16 @@ class SteppingSpace(NamedTuple):
         hi = (n - self.b) * self.max_step + self.bt
         return jnp.where(n <= self.a, lo, jnp.where(n <= self.b, mid, hi))
 
+    def to_steps_scalar(self, t: float) -> float:
+        """Host-side scalar version (no device dispatch) for static sizing."""
+        if self.cone_angle <= 1e-5:
+            return t / self.min_step
+        if t <= self.at:
+            return (t - self.at) / self.min_step + self.a
+        if t <= self.bt:
+            return math.log(max(t, 1e-20)) / self.log1p_c
+        return (t - self.bt) / self.max_step + self.b
+
 
 def warp_dt(dt: jax.Array) -> jax.Array:
     """dt → [0,1] network input (``warp_dt``, ``testbed_nerf.cu:412-417``)."""

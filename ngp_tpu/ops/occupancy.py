@@ -252,10 +252,23 @@ def mark_untrained_cells(
     W, H = resolution
     n_cells = G * G * G
 
-    cam_pos = xforms[:, :, 3]  # (I, 3)
-    cam_rot = xforms[:, :, :3]  # (I, 3, 3) columns x,y,z
+    corner_offsets = jnp.asarray(
+        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], jnp.float32
+    )
 
-    def visible(corners):  # corners: (B, 8, 3) -> (B,)
+    @jax.jit
+    def visible_chunk(idx, xforms, focal_lengths, principal_points):
+        cam_pos = xforms[:, :, 3]  # (I, 3)
+        cam_rot = xforms[:, :, :3]  # (I, 3, 3) columns x,y,z
+        cell_flat = idx % n_cells
+        mip = idx // n_cells
+        cx = cell_flat // (G * G)
+        cy = (cell_flat // G) % G
+        cz = cell_flat % G
+        cell_xyz = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
+        voxel = jnp.exp2(mip.astype(jnp.float32)) / G
+        base = ((cell_xyz / G) - 0.5) * jnp.exp2(mip.astype(jnp.float32))[:, None] + 0.5
+        corners = base[:, None, :] + corner_offsets[None, :, :] * voxel[:, None, None]
         rel = corners[:, None, :, :] - cam_pos[None, :, None, :]  # (B, I, 8, 3)
         # camera-space coords: p_cam = R^T rel (columns of R are axes)
         p_cam = jnp.einsum("ikc,bisk->bisc", cam_rot, rel)
@@ -267,25 +280,15 @@ def mark_untrained_cells(
         inside = front & (u > 0) & (u < 1) & (v > 0) & (v < 1)
         return jnp.any(inside, axis=(1, 2))
 
-    corner_offsets = jnp.asarray(
-        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], jnp.float32
-    )
-
-    flat = jnp.arange(C * n_cells, dtype=jnp.int32)
-    out = []
-    for s in range(0, C * n_cells, chunk):
-        idx = flat[s : s + chunk]
-        cell_flat = idx % n_cells
-        mip = idx // n_cells
-        cx = cell_flat // (G * G)
-        cy = (cell_flat // G) % G
-        cz = cell_flat % G
-        cell_xyz = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
-        voxel = jnp.exp2(mip.astype(jnp.float32)) / G
-        base = ((cell_xyz / G) - 0.5) * jnp.exp2(mip.astype(jnp.float32))[:, None] + 0.5
-        corners = base[:, None, :] + corner_offsets[None, :, :] * voxel[:, None, None]
-        out.append(visible(corners))
-    vis = jnp.concatenate(out).reshape(C, G, G, G)
+    flat = jnp.arange(((C * n_cells + chunk - 1) // chunk) * chunk, dtype=jnp.int32)
+    flat = jnp.minimum(flat, C * n_cells - 1)
+    out = [
+        visible_chunk(
+            flat[s : s + chunk], xforms, focal_lengths, principal_points
+        )
+        for s in range(0, flat.shape[0], chunk)
+    ]
+    vis = jnp.concatenate(out)[: C * n_cells].reshape(C, G, G, G)
     # The reference's step-0 path (clear_visible_voxels=true) sets visible
     # cells to density 1.0 — so training starts with all visible space
     # occupied — and culled cells to -1.
