@@ -88,6 +88,21 @@ class NerfEngine:
     grid_size: int = occ.NERF_GRIDSIZE
     n_steps_per_unit: int = occ.NERF_STEPS  # finest marching steps per unit
     density_grid_decay: float = 0.95  # testbed.h:741
+    # Occupancy-update cadence. The reference updates every
+    # clamp(step/16, 1, 16) steps with an all-cells sweep before step 256
+    # (testbed.cu:4321, testbed_nerf.cu:4137). Density queries are
+    # gather-bound on TPU, so the default schedule decouples the two things
+    # an update does: *decay* (which is what prunes initially-occupied
+    # space — it needs no samples at all) runs as a cheap decay-only pass
+    # every ``grid_decay_interval`` steps, while the sampled re-query (which
+    # keeps truly occupied cells alive) runs every ``grid_update_interval``
+    # steps at ``grid_sample_divisor``-reduced counts. Set
+    # reference_prep_cadence=True for exact reference behavior.
+    reference_prep_cadence: bool = False
+    grid_update_interval: int = 16
+    grid_decay_interval: int = 4
+    grid_sample_divisor: int = 8  # reference uses n_cells/4 per kind
+    warmup_all_cells_steps: int = 32
     seed: int = 1337
     snap_to_pixel_centers: bool = True
     train_with_random_bg: bool = True
@@ -394,13 +409,31 @@ class NerfEngine:
         out = jax.lax.map(lambda p: self.network.density(params, p)[:, 0], chunks)
         return out.reshape(-1)[:n]
 
+    def _decay_grid(self, grid: occ.OccupancyGridState):
+        """Decay-only pass: EMA decay with no fresh samples (equivalent to
+        an update whose splat is empty). This is what erodes the
+        initially-occupied visible space; it costs one elementwise sweep."""
+        density = occ.ema_update_density(grid.density, jnp.zeros_like(grid.density), self.grid_cfg.decay)
+        mean = jnp.mean(jnp.maximum(density[0], 0.0))
+        return occ.OccupancyGridState(
+            density, occ.build_bitfield(density, mean), mean, grid.ema_step + 1
+        )
+
+    def decay_grid(self, grid):
+        fn = self._jit_cache.get("decay_grid")
+        if fn is None:
+            fn = jax.jit(self._decay_grid, donate_argnums=0)
+            self._jit_cache["decay_grid"] = fn
+        return fn(grid)
+
     def _update_grid(self, params, grid: occ.OccupancyGridState, key, warmup: bool):
         if warmup:
             idx, pos = occ.all_cells(self.grid_cfg, key)
         else:
-            n_quarter = self.grid_cfg.n_cells // 4 * self.grid_cfg.n_cascades
+            divisor = 4 if self.reference_prep_cadence else self.grid_sample_divisor
+            n_part = self.grid_cfg.n_cells // divisor * self.grid_cfg.n_cascades
             idx, pos = occ.sample_update_cells(
-                self.grid_cfg, key, grid.density, n_quarter, n_quarter
+                self.grid_cfg, key, grid.density, n_part, n_part
             )
         pos_w = self.aabb.relative_pos(pos)
         raw = self.chunked_density(params, pos_w)
@@ -426,10 +459,18 @@ class NerfEngine:
         base_key = jax.random.PRNGKey(self.seed ^ 0x5EED)
         step0 = int(state.step)  # one sync at entry, then host-side counter
         for step in range(step0, step0 + n_steps):
-            interval = min(max(step // 16, 1), 16)
-            if step % interval == 0:
+            if self.reference_prep_cadence:
+                interval = min(max(step // 16, 1), 16)
+                if step % interval == 0:
+                    gkey = jax.random.fold_in(base_key, 2 * step + 1)
+                    grid = self.update_grid(state, grid, gkey, warmup=step < 256)
+            elif step % self.grid_update_interval == 0:
                 gkey = jax.random.fold_in(base_key, 2 * step + 1)
-                grid = self.update_grid(state, grid, gkey, warmup=step < 256)
+                grid = self.update_grid(
+                    state, grid, gkey, warmup=step < self.warmup_all_cells_steps
+                )
+            elif step % self.grid_decay_interval == 0:
+                grid = self.decay_grid(grid)
             key = jax.random.fold_in(base_key, 2 * step)
             state, metrics = self.train_step(state, grid, key)
             if (step + 1) % self.adapt_every == 0:
@@ -462,7 +503,24 @@ class NerfEngine:
             self.n_render_samples,
             self.grid_cfg.max_mip,
         )
-        raw = self._network_on_samples(params, origins, dirs, marched)
+        N, K = marched.t.shape
+        pos = origins[:, None, :] + dirs[:, None, :] * marched.t[..., None]
+        pos_w = self.aabb.relative_pos(pos).reshape(N * K, 3)
+        dir_w = jnp.broadcast_to(
+            warp_direction(dirs)[:, None, :], (N, K, 3)
+        ).reshape(N * K, 3)
+        # Chunk the sample sweep: at render sizes (rays × K samples) the
+        # encoding's (L, N, C, D) index intermediates would exceed HBM.
+        chunk = 1 << 18
+        n = N * K
+        pad = (-n) % chunk
+        if pad:
+            pos_w = jnp.concatenate([pos_w, jnp.zeros((pad, 3))], 0)
+            dir_w = jnp.concatenate([dir_w, jnp.zeros((pad, 3))], 0)
+        raw = jax.lax.map(
+            lambda args: self.network(params, args[0], args[1]),
+            (pos_w.reshape(-1, chunk, 3), dir_w.reshape(-1, chunk, 3)),
+        ).reshape(-1, 4)[:n].reshape(N, K, 4)
         rgb = rgb_activation(self.rgb_act)(raw[..., :3])
         sigma = density_activation(self.density_act)(raw[..., 3])
         comp = composite(

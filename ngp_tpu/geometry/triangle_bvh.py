@@ -1,0 +1,361 @@
+"""Triangle BVH: host-side numpy build + batched JAX traversal queries.
+
+Counterpart of the reference's ``TriangleBvh4`` (``src/triangle_bvh.cu``):
+the reference builds a branching-4 BVH on the CPU and queries it with
+per-thread stacks in CUDA (plus OptiX programs). Here the build is numpy
+(binary, median-split on the longest centroid axis, leaves padded to
+exactly ``LEAF_SIZE`` triangles so query shapes stay static) and queries
+are a ``lax.while_loop`` over per-query explicit stacks — batched,
+mask-driven, no recursion, runs on CPU for host-side ground-truth
+generation and on TPU unchanged.
+
+Queries: ``closest_point`` (pruned best-first-ish stack traversal, exact),
+``signed_distance_watertight`` (sign from the closest triangle's normal,
+``triangle_bvh.cu:405``), and ``ray_intersect`` (closest-hit, used by the
+raystab sign mode and mesh-seeded occupancy).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LEAF_SIZE = 4
+STACK_DEPTH = 64
+
+
+class TriangleBvh(NamedTuple):
+    node_min: jnp.ndarray  # (M, 3)
+    node_max: jnp.ndarray  # (M, 3)
+    node_a: jnp.ndarray  # (M,) left child | leaf tri_start
+    node_b: jnp.ndarray  # (M,) right child | unused
+    node_leaf: jnp.ndarray  # (M,) bool
+    triangles: jnp.ndarray  # (Tp, 3, 3) reordered, leaf-padded
+    normals: jnp.ndarray  # (Tp, 3)
+    tri_index: jnp.ndarray  # (Tp,) original triangle id (or -1 for padding)
+
+
+def build_bvh(triangles: np.ndarray) -> TriangleBvh:
+    """Median-split binary BVH; leaves hold exactly LEAF_SIZE (padded)."""
+    T = triangles.shape[0]
+    cent = triangles.mean(axis=1)
+    tri_min = triangles.min(axis=1)
+    tri_max = triangles.max(axis=1)
+
+    node_min, node_max, node_a, node_b, node_leaf = [], [], [], [], []
+    out_tris, out_idx = [], []
+    FAR = 1e10
+
+    def new_node():
+        node_min.append(None)
+        node_max.append(None)
+        node_a.append(0)
+        node_b.append(0)
+        node_leaf.append(False)
+        return len(node_min) - 1
+
+    def build(ids: np.ndarray) -> int:
+        ni = new_node()
+        node_min[ni] = tri_min[ids].min(axis=0)
+        node_max[ni] = tri_max[ids].max(axis=0)
+        if len(ids) <= LEAF_SIZE:
+            start = len(out_tris) * LEAF_SIZE
+            leaf_tris = triangles[ids]
+            pad = LEAF_SIZE - len(ids)
+            if pad:
+                dummy = np.full((pad, 3, 3), FAR, np.float32)
+                leaf_tris = np.concatenate([leaf_tris, dummy])
+            out_tris.append(leaf_tris)
+            out_idx.append(
+                np.concatenate([ids, np.full(pad, -1, np.int64)])
+                if pad
+                else ids
+            )
+            node_leaf[ni] = True
+            node_a[ni] = start
+            return ni
+        axis = int(np.argmax(cent[ids].max(axis=0) - cent[ids].min(axis=0)))
+        order = np.argsort(cent[ids, axis], kind="stable")
+        half = len(ids) // 2
+        left = build(ids[order[:half]])
+        right = build(ids[order[half:]])
+        node_a[ni] = left
+        node_b[ni] = right
+        return ni
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        build(np.arange(T))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    tris = np.concatenate(out_tris).astype(np.float32)
+    idx = np.concatenate(out_idx)
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return TriangleBvh(
+        node_min=jnp.asarray(np.stack(node_min)),
+        node_max=jnp.asarray(np.stack(node_max)),
+        node_a=jnp.asarray(np.asarray(node_a, np.int32)),
+        node_b=jnp.asarray(np.asarray(node_b, np.int32)),
+        node_leaf=jnp.asarray(np.asarray(node_leaf)),
+        triangles=jnp.asarray(tris),
+        normals=jnp.asarray(n.astype(np.float32)),
+        tri_index=jnp.asarray(idx.astype(np.int32)),
+    )
+
+
+def closest_point_on_triangle(p, a, b, c):
+    """Ericson's 7-region closest point; all inputs (..., 3)."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp_ = p - c
+    d5 = jnp.sum(ab * cp_, -1)
+    d6 = jnp.sum(ac * cp_, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom_uv = jnp.where(jnp.abs(va + vb + vc) > 1e-20, va + vb + vc, 1.0)
+    v_face = vb / denom_uv
+    w_face = vc / denom_uv
+    face = a + ab * v_face[..., None] + ac * w_face[..., None]
+
+    t_ab = jnp.clip(d1 / jnp.where(jnp.abs(d1 - d3) > 1e-20, d1 - d3, 1.0), 0.0, 1.0)
+    edge_ab = a + ab * t_ab[..., None]
+    t_ac = jnp.clip(d2 / jnp.where(jnp.abs(d2 - d6) > 1e-20, d2 - d6, 1.0), 0.0, 1.0)
+    edge_ac = a + ac * t_ac[..., None]
+    t_bc = jnp.clip(
+        (d4 - d3)
+        / jnp.where(jnp.abs((d4 - d3) + (d5 - d6)) > 1e-20, (d4 - d3) + (d5 - d6), 1.0),
+        0.0,
+        1.0,
+    )
+    edge_bc = b + (c - b) * t_bc[..., None]
+
+    out = face
+    out = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None], edge_ab, out)
+    out = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None], edge_ac, out)
+    out = jnp.where(
+        ((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None], edge_bc, out
+    )
+    out = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a, out)
+    out = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None], b, out)
+    out = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None], c, out)
+    return out
+
+
+def _aabb_sq_dist(p, mn, mx):
+    d = jnp.maximum(jnp.maximum(mn - p, 0.0), p - mx)
+    return jnp.sum(d * d, axis=-1)
+
+
+def closest_point(bvh: TriangleBvh, points: jnp.ndarray):
+    """Batched exact closest point on the mesh: returns (dist, cp, tri_id).
+    Stack traversal with AABB pruning; ~O(log T) node visits per query."""
+    B = points.shape[0]
+
+    stack = jnp.zeros((B, STACK_DEPTH), jnp.int32)  # root = node 0
+    sp = jnp.ones((B,), jnp.int32)
+    best_d2 = jnp.full((B,), jnp.inf)
+    best_cp = jnp.zeros((B, 3))
+    best_tri = jnp.full((B,), -1, jnp.int32)
+
+    def cond(c):
+        return jnp.any(c[1] > 0)
+
+    def body(c):
+        stack, sp, best_d2, best_cp, best_tri = c
+        active = sp > 0
+        spm1 = jnp.maximum(sp - 1, 0)
+        node = stack[jnp.arange(B), spm1]
+        sp = jnp.where(active, spm1, sp)
+
+        is_leaf = bvh.node_leaf[node] & active
+        # --- leaf: test LEAF_SIZE triangles
+        start = bvh.node_a[node]
+        tri_ids = start[:, None] + jnp.arange(LEAF_SIZE)[None, :]
+        tris = bvh.triangles[tri_ids]  # (B, L, 3, 3)
+        cp = closest_point_on_triangle(
+            points[:, None, :], tris[:, :, 0], tris[:, :, 1], tris[:, :, 2]
+        )
+        d2 = jnp.sum((cp - points[:, None, :]) ** 2, axis=-1)  # (B, L)
+        jbest = jnp.argmin(d2, axis=1)
+        d2b = jnp.take_along_axis(d2, jbest[:, None], 1)[:, 0]
+        cpb = jnp.take_along_axis(cp, jbest[:, None, None], 1)[:, 0]
+        trib = jnp.take_along_axis(tri_ids, jbest[:, None], 1)[:, 0]
+        better = is_leaf & (d2b < best_d2)
+        best_cp = jnp.where(better[:, None], cpb, best_cp)
+        best_tri = jnp.where(better, trib, best_tri)
+        best_d2 = jnp.where(better, d2b, best_d2)
+
+        # --- internal: push children whose AABB can beat the best
+        is_int = active & ~bvh.node_leaf[node]
+        left = bvh.node_a[node]
+        right = bvh.node_b[node]
+        dl = _aabb_sq_dist(points, bvh.node_min[left], bvh.node_max[left])
+        dr = _aabb_sq_dist(points, bvh.node_min[right], bvh.node_max[right])
+        # push farther child first so the nearer is popped first
+        near = jnp.where(dl <= dr, left, right)
+        far = jnp.where(dl <= dr, right, left)
+        dn = jnp.minimum(dl, dr)
+        df = jnp.maximum(dl, dr)
+
+        def push(stack, sp, child, do):
+            idx = jnp.minimum(sp, STACK_DEPTH - 1)
+            newcol = jnp.where(do, child, stack[jnp.arange(B), idx])
+            stack = stack.at[jnp.arange(B), idx].set(newcol)
+            return stack, jnp.where(do, sp + 1, sp)
+
+        stack, sp = push(stack, sp, far, is_int & (df < best_d2))
+        stack, sp = push(stack, sp, near, is_int & (dn < best_d2))
+        return (stack, sp, best_d2, best_cp, best_tri)
+
+    stack, sp, best_d2, best_cp, best_tri = jax.lax.while_loop(
+        cond, body, (stack, sp, best_d2, best_cp, best_tri)
+    )
+    return jnp.sqrt(best_d2), best_cp, best_tri
+
+
+def signed_distance_watertight(bvh: TriangleBvh, points: jnp.ndarray) -> jnp.ndarray:
+    """Sign from the closest triangle's geometric normal
+    (``signed_distance_watertight``, ``triangle_bvh.cu:405``): positive
+    outside, negative inside."""
+    dist, cp, tri = closest_point(bvh, points)
+    n = bvh.normals[jnp.maximum(tri, 0)]
+    inside = jnp.sum((points - cp) * n, axis=-1) < 0.0
+    return jnp.where(inside, -dist, dist)
+
+
+def _ray_tri(o, d, a, b, c):
+    """Möller–Trumbore; returns t (inf on miss)."""
+    e1 = b - a
+    e2 = c - a
+    pv = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pv, -1)
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tv = o - a
+    u = jnp.sum(tv * pv, -1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(d * qv, -1) * inv
+    t = jnp.sum(e2 * qv, -1) * inv
+    hit = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6)
+    return jnp.where(hit, t, jnp.inf)
+
+
+def _aabb_ray_hit(o, inv_d, mn, mx, tmax):
+    t0 = (mn - o) * inv_d
+    t1 = (mx - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax)
+
+
+def ray_intersect(bvh: TriangleBvh, origins: jnp.ndarray, dirs: jnp.ndarray):
+    """Closest hit: returns (t, tri_id) with t = inf for misses — the
+    counterpart of ``TriangleBvh::ray_trace_gpu``."""
+    B = origins.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs) > 1e-12, dirs, 1e-12)
+
+    stack = jnp.zeros((B, STACK_DEPTH), jnp.int32)
+    sp = jnp.ones((B,), jnp.int32)
+    best_t = jnp.full((B,), jnp.inf)
+    best_tri = jnp.full((B,), -1, jnp.int32)
+
+    def cond(c):
+        return jnp.any(c[1] > 0)
+
+    def body(c):
+        stack, sp, best_t, best_tri = c
+        active = sp > 0
+        spm1 = jnp.maximum(sp - 1, 0)
+        node = stack[jnp.arange(B), spm1]
+        sp = jnp.where(active, spm1, sp)
+
+        is_leaf = bvh.node_leaf[node] & active
+        start = bvh.node_a[node]
+        tri_ids = start[:, None] + jnp.arange(LEAF_SIZE)[None, :]
+        tris = bvh.triangles[tri_ids]
+        t = _ray_tri(
+            origins[:, None, :], dirs[:, None, :],
+            tris[:, :, 0], tris[:, :, 1], tris[:, :, 2],
+        )
+        jb = jnp.argmin(t, axis=1)
+        tb = jnp.take_along_axis(t, jb[:, None], 1)[:, 0]
+        trib = jnp.take_along_axis(tri_ids, jb[:, None], 1)[:, 0]
+        better = is_leaf & (tb < best_t)
+        best_t = jnp.where(better, tb, best_t)
+        best_tri = jnp.where(better, trib, best_tri)
+
+        is_int = active & ~bvh.node_leaf[node]
+        left = bvh.node_a[node]
+        right = bvh.node_b[node]
+        hl = _aabb_ray_hit(origins, inv_d, bvh.node_min[left], bvh.node_max[left], best_t)
+        hr = _aabb_ray_hit(origins, inv_d, bvh.node_min[right], bvh.node_max[right], best_t)
+
+        def push(stack, sp, child, do):
+            idx = jnp.minimum(sp, STACK_DEPTH - 1)
+            newcol = jnp.where(do, child, stack[jnp.arange(B), idx])
+            stack = stack.at[jnp.arange(B), idx].set(newcol)
+            return stack, jnp.where(do, sp + 1, sp)
+
+        stack, sp = push(stack, sp, right, is_int & hr)
+        stack, sp = push(stack, sp, left, is_int & hl)
+        return (stack, sp, best_t, best_tri)
+
+    stack, sp, best_t, best_tri = jax.lax.while_loop(
+        cond, body, (stack, sp, best_t, best_tri)
+    )
+    return best_t, best_tri
+
+
+def signed_distance_raystab(
+    bvh: TriangleBvh, points: jnp.ndarray, n_stabs: int = 32, key=None
+) -> jnp.ndarray:
+    """Parity-of-intersections sign (``signed_distance_raystab``,
+    ``triangle_bvh.cu:415``): stab ``n_stabs`` fixed directions; if any
+    direction sees an even number of crossings the point is outside.
+    Implemented as any-direction parity vote via repeated closest-hit
+    marching — costly; intended for non-watertight meshes only."""
+    dist, _, _ = closest_point(bvh, points)
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    dirs = rng.normal(size=(n_stabs, 3))
+    dirs /= _np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    inside = jnp.ones((points.shape[0],), bool)
+    for s in range(n_stabs):
+        d = jnp.broadcast_to(jnp.asarray(dirs[s], jnp.float32), points.shape)
+        # count crossings by marching closest hits
+        o = points
+        count = jnp.zeros((points.shape[0],), jnp.int32)
+
+        def cond(c):
+            return jnp.any(jnp.isfinite(c[1]))
+
+        def body(c):
+            o, t, count = c
+            hit = jnp.isfinite(t)
+            o2 = jnp.where(hit[:, None], o + d * (t[:, None] + 1e-5), o)
+            t2, _ = ray_intersect(bvh, o2, d)
+            t2 = jnp.where(hit, t2, jnp.inf)
+            return o2, t2, count + hit.astype(jnp.int32)
+
+        t0, _ = ray_intersect(bvh, o, d)
+        _, _, count = jax.lax.while_loop(cond, body, (o, t0, count))
+        inside = inside & (count % 2 == 1)
+    return jnp.where(inside, -dist, dist)

@@ -16,7 +16,9 @@ reference's warped inputs).
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Any, Sequence
 
@@ -27,6 +29,117 @@ import numpy as np
 # The three per-dimension hashing primes of the multiresolution hash encoding
 # (Müller et al. 2022, eq. 4 — dim 0 is intentionally 1 for cache coherence).
 _HASH_PRIMES = (1, 2654435761, 805459861)
+
+
+@jax.custom_vjp
+def grid_gather_blend(table: jax.Array, idx: jax.Array, w: jax.Array) -> jax.Array:
+    """Blend 2^D table rows per (level, sample): ``out[l,n,f] = Σ_c
+    w[l,n,c]·table[l, idx[l,n,c], f]``.
+
+    The forward is one flat row gather. The backward replaces XLA's
+    scatter-add — which serializes updates and measures ~60 ns per element
+    on TPU even with unique indices — with the fully scatter-free dense
+    segment sum of ``ngp_tpu.ops.scatter_free`` (two stable sorts + a
+    log-tree cumsum). The log-depth cumsum keeps error at ~eps·log₂(N); the
+    reference accumulates these same gradients in fp16 atomics with a 128×
+    loss scale (``tiny-cuda-nn`` grid backward, SURVEY.md §2.10), so this
+    is strictly tighter.
+
+    Gradients flow to ``table`` only: ``w`` (and hence positions) are
+    treated as non-differentiable here, matching the reference training
+    path, which never backprops into sample positions. Use plain autodiff
+    (``GridEncoding.__call__`` with ``differentiable_inputs=True``) where
+    d(out)/d(x) is required (SDF analytic normals, camera refinement).
+    """
+    L, T, F = table.shape
+    flat = (jnp.arange(L, dtype=jnp.uint32)[:, None, None] * jnp.uint32(T)
+            + idx.astype(jnp.uint32)).reshape(-1)
+    feats = jnp.take(
+        table.reshape(L * T, F), flat.astype(jnp.int32), axis=0
+    ).reshape(idx.shape + (F,))
+    return jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
+
+
+def _ggb_fwd(table, idx, w):
+    return grid_gather_blend(table, idx, w), (table.shape, idx, w)
+
+
+def _ggb_bwd(res, g):
+    from ngp_tpu.ops.scatter_free import dense_segment_sum
+
+    (L, T, F), idx, w = res
+    keys = (jnp.arange(L, dtype=jnp.int32)[:, None, None] * T + idx).reshape(-1)
+    # per (l, n, c): value vector w·g[l,n,:]  -> (M, F)
+    vals = (w[..., None] * g[:, :, None, :]).reshape(-1, F)
+    d_table = dense_segment_sum(keys, vals, L * T)
+    return d_table.reshape(L, T, F), None, None
+
+
+grid_gather_blend.defvjp(_ggb_fwd, _ggb_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pallas_grid_encode(enc: "GridEncoding", table: jax.Array, x: jax.Array) -> jax.Array:
+    """VMEM-resident Pallas forward (see ``ngp_tpu/ops/pallas/hashgrid.py``)
+    + the scatter-free sorted backward with hash indices recomputed from
+    ``x`` (residual = positions only, not the 0.5 GB of indices/weights).
+    ``x`` must already be padded to a TILE multiple; output is (N, L·F)."""
+    from ngp_tpu.ops.pallas.hashgrid import hashgrid_encode_pallas, pack_table
+
+    scales, res, sizes, hashed = enc._level_geometry()
+    out = hashgrid_encode_pallas(
+        pack_table(table),
+        x,
+        jnp.asarray(scales[:, None]),
+        jnp.asarray(res[:, None]),
+        jnp.asarray(hashed.astype(np.int32)[:, None]),
+        jnp.asarray(sizes[:, None]),
+        n_levels=enc.n_levels,
+        table_size=enc.table_size,
+        n_features=enc.n_features_per_level,
+        n_dims=enc.n_input_dims,
+    )
+    return out.reshape(x.shape[0], enc.n_levels * enc.n_features_per_level)
+
+
+def _pge_fwd(enc, table, x):
+    return pallas_grid_encode(enc, table, x), x
+
+
+def _pge_bwd(enc, x, g):
+    from ngp_tpu.ops.scatter_free import dense_segment_sum
+
+    L, F = enc.n_levels, enc.n_features_per_level
+    T = enc.max_table_rows
+    idx, w = enc.indices_and_weights(x)  # (L, N, C)
+    gl = jnp.transpose(g.reshape(x.shape[0], L, F), (1, 0, 2))  # (L, N, F)
+    keys = (jnp.arange(L, dtype=jnp.int32)[:, None, None] * T + idx).reshape(-1)
+    vals = (w[..., None] * gl[:, :, None, :]).reshape(-1, F)
+    d_table = dense_segment_sum(keys, vals, L * T).reshape(L, T, F)
+    return d_table, None
+
+
+pallas_grid_encode.defvjp(_pge_fwd, _pge_bwd)
+
+_PALLAS_TILE = 8192
+
+
+def _pallas_eligible(enc: "GridEncoding") -> bool:
+    # Experimental, off by default: Mosaic's tpu.dynamic_gather turned out
+    # to be vreg-local ("Multiple source vregs along gather dimension"), so
+    # the VMEM-resident row-gather kernel does not compile on current
+    # hardware toolchains. The kernel remains correct under interpret mode
+    # and documents the design for when the primitive generalizes.
+    if not os.environ.get("NGP_TPU_ENABLE_PALLAS"):
+        return False
+    return (
+        enc.grid_type in ("Hash", "Dense")
+        and enc.interpolation == "Linear"
+        and enc.n_features_per_level in (1, 2, 4, 8)
+        and (enc.max_table_rows * enc.n_features_per_level) % 128 == 0
+        and enc.max_table_rows * enc.n_features_per_level <= (_PALLAS_TILE * 128)
+        and enc.n_input_dims in (2, 3)
+    )
 
 
 def _next_multiple(x: int, m: int) -> int:
@@ -166,13 +279,20 @@ class GridEncoding(Encoding):
             pos0 = pos0.astype(jnp.int32)
             cpos = pos0[:, None, :] + corners[None, :, :]  # (N, C, D)
             # Linear (tiled/dense) index with per-dim stride = resolution^d.
+            # Dense levels clamp boundary corners (the top grid plane's
+            # "+1" corner) instead of wrapping — keeps lin < size with no
+            # integer mod, which also matters for the Pallas kernel (TPU
+            # has no vector integer division). Tiled levels genuinely wrap.
             stride = r.astype(jnp.uint32) ** jnp.arange(D, dtype=jnp.uint32)
-            lin = jnp.sum(cpos.astype(jnp.uint32) * stride, axis=-1)
+            cpos_c = jnp.minimum(cpos, r - 1)
+            lin = jnp.sum(cpos_c.astype(jnp.uint32) * stride, axis=-1)
+            if self.grid_type == "Tiled":
+                lin = lin % size.astype(jnp.uint32)
             # Spatial hash for levels that exceed the table.
             h = cpos[..., 0].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[0])
             for d in range(1, D):
                 h = h ^ (cpos[..., d].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[d]))
-            idx = jnp.where(use_hash, h, lin) % size.astype(jnp.uint32)
+            idx = jnp.where(use_hash, h % size.astype(jnp.uint32), lin)
             # Blend weight: prod over dims of (frac if corner else 1-frac).
             cw = jnp.where(
                 corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
@@ -185,20 +305,52 @@ class GridEncoding(Encoding):
         )
         return idx, w
 
-    def __call__(self, params, x: jax.Array, max_level: int | None = None) -> jax.Array:
+    def __call__(
+        self,
+        params,
+        x: jax.Array,
+        max_level: int | None = None,
+        differentiable_inputs: bool = False,
+    ) -> jax.Array:
         """Encode positions ``x`` (N, D) in [0,1] → (N, L·F) features.
 
         ``max_level`` implements the reference's coarse-to-fine
         ``set_max_level`` (levels above are zeroed, gradients included).
-        """
+        The default table-gradient path is the sort-based
+        ``grid_gather_blend`` custom VJP (no scatter-add; positions are
+        non-differentiable, like the reference's training path). Pass
+        ``differentiable_inputs=True`` where d(out)/dx is needed (SDF
+        analytic normals, camera refinement) — plain autodiff, slower
+        backward."""
         table = params["table"]
+        if (
+            not differentiable_inputs
+            and _pallas_eligible(self)
+            and jax.default_backend() == "tpu"
+        ):
+            n = x.shape[0]
+            pad = (-n) % _PALLAS_TILE
+            xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+            out2 = pallas_grid_encode(self, table, xp)[:n]
+            if max_level is not None:
+                level_ids = jnp.arange(self.n_levels)
+                mask = jnp.repeat(
+                    level_ids <= max_level, self.n_features_per_level
+                )
+                out2 = jnp.where(mask[None, :], out2, 0.0)
+            return out2
         idx, w = self.indices_and_weights(x)
-        feats = jnp.take_along_axis(
-            table, idx.reshape(self.n_levels, -1, 1), axis=1
-        )  # (L, N*C, F)
-        C = 1 << self.n_input_dims
-        feats = feats.reshape(self.n_levels, x.shape[0], C, self.n_features_per_level)
-        out = jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
+        if differentiable_inputs:
+            feats = jnp.take_along_axis(
+                table, idx.reshape(self.n_levels, -1, 1), axis=1
+            )  # (L, N*C, F)
+            C = 1 << self.n_input_dims
+            feats = feats.reshape(
+                self.n_levels, x.shape[0], C, self.n_features_per_level
+            )
+            out = jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
+        else:
+            out = grid_gather_blend(table, idx, w)
         if max_level is not None:
             level_ids = jnp.arange(self.n_levels)
             out = jnp.where((level_ids <= max_level)[:, None, None], out, 0.0)

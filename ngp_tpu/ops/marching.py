@@ -158,19 +158,23 @@ def march_rays(
     occ = occupied_at(bitfield, pos, mip) & before_exit
 
     cnt = jnp.cumsum(occ.astype(jnp.int32), axis=1)
-    slot = cnt - 1
-    keep = occ & (slot < n_samples)
-    ray_ids = jnp.arange(N, dtype=jnp.int32)[:, None]
-    flat_target = jnp.where(keep, ray_ids * n_samples + slot, N * n_samples)
+    # Compact the first K occupied lattice points per ray with an
+    # output-driven binary search over the monotone count (XLA scatter
+    # serializes on TPU; gathers don't): slot k holds the lattice index of
+    # the (k+1)-th occupied point.
+    k_plus1 = jnp.arange(1, n_samples + 1, dtype=jnp.int32)[None, :]  # (1, K)
+    lo = jnp.zeros((N, n_samples), jnp.int32)
+    hi = jnp.full((N, n_samples), n_lattice, jnp.int32)
+    for _ in range(max(n_lattice - 1, 1).bit_length()):
+        mid = (lo + hi) // 2
+        c_mid = jnp.take_along_axis(cnt, mid, axis=1)
+        go_right = c_mid < k_plus1
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    sel = jnp.minimum(lo, n_lattice - 1)
 
-    def compact(x):
-        out = jnp.zeros((N * n_samples,), x.dtype)
-        return out.at[flat_target.reshape(-1)].set(
-            x.reshape(-1), mode="drop"
-        ).reshape(N, n_samples)
-
-    t_c = compact(t)
-    dt_c = compact(dt)
+    t_c = jnp.take_along_axis(t, sel, axis=1)
+    dt_c = jnp.take_along_axis(dt, sel, axis=1)
     total = cnt[:, -1]
     kept = jnp.minimum(total, n_samples)
     valid = jnp.arange(n_samples)[None, :] < kept[:, None]

@@ -145,12 +145,14 @@ def ema_update_density(density: jax.Array, splat: jax.Array, decay: float) -> ja
 
 
 def splat_max(cfg: OccupancyGridConfig, flat_idx: jax.Array, values: jax.Array) -> jax.Array:
-    """Scatter-max sampled optical thicknesses into a zeroed temp grid
+    """Max-splat sampled optical thicknesses into a zeroed temp grid
     (``splat_grid_samples_nerf_max_nearest_neighbor``,
-    ``testbed_nerf.cu:678-707``) — XLA scatter-max instead of atomicMax."""
+    ``testbed_nerf.cu:678-707``) — scatter-free segment-max instead of the
+    reference's atomicMax (XLA scatter serializes on TPU)."""
+    from ngp_tpu.ops.scatter_free import dense_segment_max
+
     G, C = cfg.grid_size, cfg.n_cascades
-    tmp = jnp.zeros((C * G * G * G,), jnp.float32)
-    tmp = tmp.at[flat_idx].max(values)
+    tmp = dense_segment_max(flat_idx, values, C * G * G * G, initial=0.0)
     return tmp.reshape(C, G, G, G)
 
 
@@ -243,23 +245,49 @@ def mark_untrained_cells(
     chunk: int = 1 << 18,
 ) -> jax.Array:
     """Set cells seen by no training camera to -1, visible cells to 1
-    (``mark_untrained_density_grid``, ``testbed_nerf.cu:503-592``). A cell is
-    visible if any of its 8 corners projects inside (0,1)² of any camera and
-    lies in front of it. Deviation: the reference additionally round-trips
-    uv→ray to reject distortion-fold cases; we use the undistorted pinhole
-    projection (distortion deltas are small inside the image)."""
+    (``mark_untrained_density_grid``, ``testbed_nerf.cu:503-592``).
+
+    TPU-first redesign: instead of projecting 8 corners of every cell into
+    every camera (a memory-bound (cells × cams × corners) tensor), each
+    camera becomes 5 frustum half-spaces and cell *centers* are tested with
+    a bounding-radius margin — one (points × 3) · (3 × 5·I) MXU matmul plus
+    fused compares. Conservative (a margin-visible cell may be slightly
+    outside the true frustum), like the reference's own undistorted
+    projection test is approximate under distortion."""
     G, C = cfg.grid_size, cfg.n_cascades
     W, H = resolution
     n_cells = G * G * G
 
-    corner_offsets = jnp.asarray(
-        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], jnp.float32
-    )
+    # Build frustum planes per camera: inward normals + plane offsets.
+    fwd = xforms[:, :, 2]
+    right = xforms[:, :, 0]
+    down = xforms[:, :, 1]
+    cam_o = xforms[:, :, 3]
+    # uv∈(0,1) ⇒ camera-space x/z ∈ (-pp_x·W/f_x, (1-pp_x)·W/f_x), same in y.
+    tx0 = (principal_points[:, 0] * W / focal_lengths[:, 0])[:, None]
+    tx1 = ((1.0 - principal_points[:, 0]) * W / focal_lengths[:, 0])[:, None]
+    ty0 = (principal_points[:, 1] * H / focal_lengths[:, 1])[:, None]
+    ty1 = ((1.0 - principal_points[:, 1]) * H / focal_lengths[:, 1])[:, None]
+
+    def norm(v):
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    normals = jnp.stack(
+        [
+            norm(fwd * tx0 + right),   # left plane
+            norm(fwd * tx1 - right),   # right plane
+            norm(fwd * ty0 + down),    # top plane
+            norm(fwd * ty1 - down),    # bottom plane
+            fwd,                        # front plane
+        ],
+        axis=1,
+    )  # (I, 5, 3)
+    n_flat = normals.reshape(-1, 3)  # (5I, 3)
+    offsets = jnp.sum(n_flat * jnp.repeat(cam_o, 5, axis=0), axis=-1)  # (5I,)
+    n_images = xforms.shape[0]
 
     @jax.jit
-    def visible_chunk(idx, xforms, focal_lengths, principal_points):
-        cam_pos = xforms[:, :, 3]  # (I, 3)
-        cam_rot = xforms[:, :, :3]  # (I, 3, 3) columns x,y,z
+    def visible_chunk(idx, n_flat, offsets):
         cell_flat = idx % n_cells
         mip = idx // n_cells
         cx = cell_flat // (G * G)
@@ -267,25 +295,18 @@ def mark_untrained_cells(
         cz = cell_flat % G
         cell_xyz = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
         voxel = jnp.exp2(mip.astype(jnp.float32)) / G
-        base = ((cell_xyz / G) - 0.5) * jnp.exp2(mip.astype(jnp.float32))[:, None] + 0.5
-        corners = base[:, None, :] + corner_offsets[None, :, :] * voxel[:, None, None]
-        rel = corners[:, None, :, :] - cam_pos[None, :, None, :]  # (B, I, 8, 3)
-        # camera-space coords: p_cam = R^T rel (columns of R are axes)
-        p_cam = jnp.einsum("ikc,bisk->bisc", cam_rot, rel)
-        z = p_cam[..., 2]
-        front = z > 1e-4
-        zs = jnp.where(front, z, 1.0)
-        u = p_cam[..., 0] / zs * focal_lengths[None, :, None, 0] / W + principal_points[None, :, None, 0]
-        v = p_cam[..., 1] / zs * focal_lengths[None, :, None, 1] / H + principal_points[None, :, None, 1]
-        inside = front & (u > 0) & (u < 1) & (v > 0) & (v < 1)
-        return jnp.any(inside, axis=(1, 2))
+        center = ((cell_xyz + 0.5) / G - 0.5) * jnp.exp2(
+            mip.astype(jnp.float32)
+        )[:, None] + 0.5
+        margin = voxel * (0.5 * 1.7320508)  # cell bounding radius
+        d = center @ n_flat.T - offsets[None, :]  # (B, 5I) — MXU
+        inside = (d > -margin[:, None]).reshape(-1, n_images, 5)
+        return jnp.any(jnp.all(inside, axis=2), axis=1)
 
     flat = jnp.arange(((C * n_cells + chunk - 1) // chunk) * chunk, dtype=jnp.int32)
     flat = jnp.minimum(flat, C * n_cells - 1)
     out = [
-        visible_chunk(
-            flat[s : s + chunk], xforms, focal_lengths, principal_points
-        )
+        visible_chunk(flat[s : s + chunk], n_flat, offsets)
         for s in range(0, flat.shape[0], chunk)
     ]
     vis = jnp.concatenate(out)[: C * n_cells].reshape(C, G, G, G)

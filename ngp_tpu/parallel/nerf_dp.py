@@ -166,10 +166,18 @@ def dp_train(engine: NerfEngine, mesh: Mesh, state, grid, n_steps: int, log_ever
     metrics = {}
     step0 = int(state.step)
     for step in range(step0, step0 + n_steps):
-        interval = min(max(step // 16, 1), 16)
-        if step % interval == 0:
+        if engine.reference_prep_cadence:
+            interval = min(max(step // 16, 1), 16)
+            if step % interval == 0:
+                gkey = jax.random.fold_in(base_key, 2 * step + 1)
+                grid = update_fn(state, grid, gkey, warmup=step < 256)
+        elif step % engine.grid_update_interval == 0:
             gkey = jax.random.fold_in(base_key, 2 * step + 1)
-            grid = update_fn(state, grid, gkey, warmup=step < 256)
+            grid = update_fn(
+                state, grid, gkey, warmup=step < engine.warmup_all_cells_steps
+            )
+        elif step % engine.grid_decay_interval == 0:
+            grid = engine.decay_grid(grid)
         key = jax.random.fold_in(base_key, 2 * step)
         state, metrics = step_fn(state, grid, key)
         if (step + 1) % engine.adapt_every == 0:

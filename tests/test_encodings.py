@@ -148,3 +148,44 @@ def test_trianglewave():
     enc = TriangleWaveEncoding(n_input_dims=1, n_frequencies=2)
     y = enc({}, jnp.asarray([[0.5]]))
     assert y.shape == (1, 2)
+
+
+def test_grid_gather_blend_backward_matches_scatter_add():
+    """The sort/cumsum/unique-scatter backward must equal the naive
+    scatter-add table gradient (it replaces XLA's serialized scatter on
+    TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngp_tpu.models.encodings import grid_gather_blend
+
+    rng = np.random.default_rng(5)
+    L, T, F, N, C = 3, 64, 2, 200, 8
+    table = jnp.asarray(rng.normal(size=(L, T, F)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, size=(L, N, C)).astype(np.int32))
+    w = jnp.asarray(rng.uniform(0, 1, size=(L, N, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(L, N, F)).astype(np.float32))
+
+    def loss_custom(t):
+        return jnp.sum(grid_gather_blend(t, idx, w) * g)
+
+    def loss_ref(t):
+        feats = jnp.take_along_axis(t, idx.reshape(L, -1, 1), axis=1)
+        feats = feats.reshape(L, N, C, F)
+        out = jnp.sum(feats * w[..., None], axis=2)
+        return jnp.sum(out * g)
+
+    got = jax.grad(loss_custom)(table)
+    want = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5)
+    # forwards agree too
+    np.testing.assert_allclose(
+        np.asarray(grid_gather_blend(table, idx, w)),
+        np.asarray(
+            jnp.sum(
+                jnp.take_along_axis(t := table, idx.reshape(L, -1, 1), axis=1)
+                .reshape(L, N, C, F) * w[..., None], axis=2)
+        ),
+        rtol=1e-5, atol=1e-6,
+    )
