@@ -25,6 +25,13 @@ BASELINE_SAMPLES_PER_S = 5.2e7
 def main():
     import jax
 
+    # Persistent compilation cache: the tunnel's remote compiler takes
+    # minutes per program; cache across bench invocations.
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     t_start = time.time()
     from ngp_tpu.engines.nerf import NerfEngine
 
