@@ -68,6 +68,7 @@ def eval_image_and_snap(
 class ImageEngine:
     config: dict
     image: np.ndarray  # (H, W, 4) float32 linear
+    batch_size: int = 1 << 18
     random_mode: str = "Stratified"
     snap_to_pixel_centers: bool = True
     linear_colors: bool = False
@@ -93,10 +94,12 @@ class ImageEngine:
         )
 
     def train(
-        self, state: TrainState, n_steps: int, batch_size: int = 1 << 18
+        self, state: TrainState, n_steps: int, batch_size: int | None = None
     ) -> tuple[TrainState, jax.Array]:
         """Run ``n_steps`` training steps as one compiled scan; returns the
         new state and the per-step loss history."""
+
+        batch_size = batch_size or self.batch_size
 
         @jax.jit
         def run(state):
@@ -135,6 +138,35 @@ class ImageEngine:
         if not self.linear_colors:
             rgb = srgb_to_linear(rgb)
         return rgb
+
+    def save_snapshot(self, path: str, state: TrainState) -> None:
+        from ngp_tpu.utils.snapshot import save_snapshot
+
+        save_snapshot(
+            path,
+            {
+                "mode": "image",
+                "network_config": self.config,
+                "snapshot": {
+                    "training_step": np.asarray(state.step),
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "ema_params": jax.tree.map(np.asarray, state.ema.params),
+                },
+            },
+        )
+
+    def load_snapshot(self, path: str) -> TrainState:
+        from ngp_tpu.optim import EmaState
+        from ngp_tpu.utils.snapshot import load_snapshot
+
+        snap = load_snapshot(path)["snapshot"]
+        params = jax.tree.map(jnp.asarray, snap["params"])
+        return TrainState(
+            step=jnp.asarray(snap["training_step"], jnp.int32),
+            params=params,
+            opt_state=self.trainer.tx.init(params),
+            ema=EmaState(jax.tree.map(jnp.asarray, snap["ema_params"])),
+        )
 
     def compute_mse(self, state: TrainState, quantize_to_byte: bool = False) -> float:
         """Full-image MSE vs texels in the training (sRGB) color space —

@@ -187,7 +187,12 @@ class NerfEngine:
 
     @staticmethod
     def _pow2_clamp(x: float, lo: int, hi: int) -> int:
-        p = 1 << max(int(math.ceil(max(x, 1)) - 1).bit_length(), 0)
+        # Power-of-FOUR buckets: every bucket is a separate compiled
+        # program, and compiles through the remote TPU compiler cost
+        # minutes — coarser buckets trade a little padding for far fewer
+        # compilations.
+        b = max(int(math.ceil(max(x, 1)) - 1).bit_length(), 0)
+        p = 1 << (b + (b & 1))
         return int(min(max(p, lo), hi))
 
     # -- config autocompletion (reset_network, testbed.cu:3961-4005)
@@ -385,11 +390,20 @@ class NerfEngine:
 
     def adapt_batch_geometry(self, metrics) -> None:
         """Re-pick the (n_rays, K) bucket from the measured per-ray sample
-        count, aiming for K ≈ 2× the mean so only the tail truncates."""
-        mean_total = float(metrics["mean_total"])
-        self._k = self._pow2_clamp(
-            2.0 * max(mean_total, 1.0), self.min_samples_per_ray, self._k_max
-        )
+        count, aiming for K ≈ 2× the mean so only the tail truncates.
+        Down-switches require a 25% margin (hysteresis) — every bucket is a
+        separate compiled program and oscillating across a boundary costs
+        minutes of recompilation."""
+        mean_total = max(float(metrics["mean_total"]), 1.0)
+        target = self._pow2_clamp(2.0 * mean_total, self.min_samples_per_ray, self._k_max)
+        if target > self._k:
+            self._k = target
+        elif target < self._k:
+            with_margin = self._pow2_clamp(
+                2.5 * mean_total, self.min_samples_per_ray, self._k_max
+            )
+            if with_margin < self._k:
+                self._k = with_margin
 
     # -- occupancy maintenance (training_prep_nerf)
 
@@ -594,6 +608,30 @@ class NerfEngine:
         target = img[..., :3] * a + (1.0 - a) * bg
         mse = float(np.mean((pred - target) ** 2))
         return -10.0 * math.log10(max(mse, 1e-12))
+
+    # -- mesh export (compute_marching_cubes_mesh, python_api.cu:101-125)
+
+    def compute_marching_cubes_mesh(
+        self, state, resolution: int = 256, density_thresh: float = 2.5,
+        aabb=None,
+    ):
+        """Extract an isosurface of the *raw* density-MLP output (the
+        reference meshes raw MLP values, ``grid_samples_half_to_float``,
+        with GUI default threshold 2.5). Returns (verts, faces) in scene
+        space."""
+        from ngp_tpu.ops.marching_cubes import marching_cubes
+
+        lo, hi = aabb if aabb is not None else (self.aabb.min, self.aabb.max)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        params = self.inference_params(state)
+        n = resolution
+        axes = [np.linspace(lo[d], hi[d], n, dtype=np.float32) for d in range(3)]
+        grid_pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+        pos_w = self.aabb.relative_pos(jnp.asarray(grid_pts))
+        raw = np.asarray(self.chunked_density(params, pos_w))
+        field = raw.reshape(n, n, n)
+        spacing = (hi - lo) / (n - 1)
+        return marching_cubes(field, density_thresh, origin=lo, spacing=spacing)
 
     # -- snapshots (save_snapshot/load_snapshot, testbed.cu:4873-5057)
 

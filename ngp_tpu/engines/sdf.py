@@ -258,6 +258,26 @@ class SdfEngine:
         )
         return np.asarray(rgb).reshape(H, W, 3), np.asarray(hit).reshape(H, W)
 
+    # -- mesh export
+
+    def compute_marching_cubes_mesh(self, state, resolution: int = 256):
+        """Zero-level set of the learned SDF → (verts, faces)."""
+        from ngp_tpu.ops.marching_cubes import marching_cubes
+
+        params = self.trainer.inference_params(state)
+        lo = np.asarray(self.mesh.aabb_min)
+        hi = np.asarray(self.mesh.aabb_max)
+        n = resolution
+        axes = [np.linspace(lo[d], hi[d], n, dtype=np.float32) for d in range(3)]
+        pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+        out = []
+        chunk = 1 << 18
+        for s in range(0, pts.shape[0], chunk):
+            out.append(np.asarray(self.model(params, jnp.asarray(pts[s : s + chunk]))[:, 0]))
+        field = -np.concatenate(out).reshape(n, n, n)  # inside-positive
+        spacing = (hi - lo) / (n - 1)
+        return marching_cubes(field, 0.0, origin=lo, spacing=spacing)
+
     # -- snapshots
 
     def save_snapshot(self, path: str, state: TrainState):

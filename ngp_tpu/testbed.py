@@ -1,0 +1,324 @@
+"""Unified Testbed orchestrator — the counterpart of the reference's
+``Testbed`` class and the ``pyngp`` Python API surface
+(``src/testbed.cu``, ``src/python_api.cu:266-696``).
+
+Mode is detected from the scene path like ``mode_from_scene``
+(``src/common.cu:144-173``): directory or ``transforms.json`` → NeRF,
+``.obj``/``.stl`` → SDF, ``.nvdb``/``.npy`` → Volume, image files → Image.
+The heavy lifting lives in the per-mode engines; this class provides the
+single programmatic entry point: load data, train, render, evaluate,
+snapshot, export meshes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+from ngp_tpu.config import load_config
+
+MODES = ("nerf", "sdf", "image", "volume")
+
+_DEFAULT_CONFIGS = {
+    "nerf": {
+        "loss": {"otype": "Huber"},
+        "optimizer": {
+            "otype": "Ema", "decay": 0.95,
+            "nested": {
+                "otype": "ExponentialDecay", "decay_start": 20000,
+                "decay_interval": 10000, "decay_base": 0.33,
+                "nested": {"otype": "Adam", "learning_rate": 1e-2, "beta1": 0.9,
+                           "beta2": 0.99, "epsilon": 1e-15, "l2_reg": 1e-6},
+            },
+        },
+        "encoding": {"otype": "HashGrid", "n_levels": 16,
+                     "n_features_per_level": 2, "log2_hashmap_size": 19,
+                     "base_resolution": 16},
+        "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 64,
+                    "n_hidden_layers": 1},
+        "dir_encoding": {"otype": "Composite", "nested": [
+            {"n_dims_to_encode": 3, "otype": "SphericalHarmonics", "degree": 4},
+            {"otype": "Identity"},
+        ]},
+        "rgb_network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                        "output_activation": "None", "n_neurons": 64,
+                        "n_hidden_layers": 2},
+    },
+    "sdf": {
+        "loss": {"otype": "MAPE"},
+        "optimizer": {
+            "otype": "Ema", "decay": 0.95,
+            "nested": {
+                "otype": "ExponentialDecay", "decay_start": 10000,
+                "decay_interval": 5000, "decay_base": 0.33,
+                "nested": {"otype": "Adam", "learning_rate": 1e-4, "beta1": 0.9,
+                           "beta2": 0.99, "epsilon": 1e-15, "l2_reg": 1e-6},
+            },
+        },
+        "encoding": {"otype": "HashGrid", "n_levels": 16,
+                     "n_features_per_level": 2, "log2_hashmap_size": 19,
+                     "base_resolution": 16},
+        "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
+    "image": {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {
+            "otype": "Ema", "decay": 0.99,
+            "nested": {
+                "otype": "ExponentialDecay", "decay_start": 10000,
+                "decay_interval": 5000, "decay_base": 0.33,
+                "nested": {"otype": "Adam", "learning_rate": 1e-2, "beta1": 0.9,
+                           "beta2": 0.99, "epsilon": 1e-8, "l2_reg": 1e-6},
+            },
+        },
+        "encoding": {"otype": "HashGrid", "n_levels": 16,
+                     "n_features_per_level": 2, "log2_hashmap_size": 24,
+                     "base_resolution": 16},
+        "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
+    "volume": {
+        "loss": {"otype": "L2"},
+        "optimizer": {
+            "otype": "Ema", "decay": 0.95,
+            "nested": {
+                "otype": "ExponentialDecay", "decay_start": 10000,
+                "decay_interval": 5000, "decay_base": 0.33,
+                "nested": {"otype": "Adam", "learning_rate": 1e-4, "beta1": 0.9,
+                           "beta2": 0.99, "epsilon": 1e-15, "l2_reg": 1e-6},
+            },
+        },
+        "encoding": {"otype": "HashGrid", "n_levels": 16,
+                     "n_features_per_level": 2, "log2_hashmap_size": 19,
+                     "base_resolution": 16},
+        "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "ReLU", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
+}
+
+
+def mode_from_scene(path: str) -> str | None:
+    """``mode_from_scene`` (``src/common.cu:144-173``)."""
+    if os.path.isdir(path):
+        return "nerf"
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext == "json":
+        return "nerf"
+    if ext in ("obj", "stl"):
+        return "sdf"
+    if ext in ("nvdb", "npy"):
+        return "volume"
+    if ext in ("exr", "bin", "png", "jpg", "jpeg", "bmp", "tga", "hdr"):
+        return "image"
+    return None
+
+
+def default_config(mode: str) -> dict:
+    import copy
+
+    return copy.deepcopy(_DEFAULT_CONFIGS[mode])
+
+
+class Testbed:
+    """``Testbed(mode=None, scene=None, config=None, **engine_kwargs)``.
+
+    Properties/methods mirror the pyngp surface: ``load_training_data``,
+    ``reload_network_from_json``, ``train``, ``render``, ``save_snapshot``
+    / ``load_snapshot``, ``compute_marching_cubes_mesh``,
+    ``calculate_iou``, ``compute_image_mse``, ``training_step``, ``loss``.
+    """
+
+    def __init__(self, mode: str | None = None, scene: str | None = None,
+                 config: str | dict | None = None, **engine_kwargs):
+        self.mode = mode
+        self.engine: Any = None
+        self.state = None
+        self.grid = None  # NeRF occupancy state
+        self.loss = float("nan")
+        self._engine_kwargs = engine_kwargs
+        self.network_config: dict | None = None
+        if config is not None:
+            self.reload_network_from_json(config, rebuild=False)
+        if scene is not None:
+            self.load_training_data(scene)
+
+    # -- data / config loading
+
+    def load_training_data(self, path: str) -> None:
+        mode = self.mode or mode_from_scene(path)
+        if mode is None:
+            raise ValueError(f"cannot infer mode from scene path {path!r}")
+        self.mode = mode
+        self.scene = path
+        cfg = self.network_config or default_config(mode)
+        self.network_config = cfg
+        self._build_engine(cfg)
+
+    def reload_network_from_json(self, config: str | dict, rebuild: bool = True) -> None:
+        if isinstance(config, str):
+            config = load_config(config)
+        self.network_config = config
+        if rebuild and self.mode is not None and getattr(self, "scene", None):
+            self._build_engine(config)
+
+    def _build_engine(self, cfg: dict) -> None:
+        import copy
+        import dataclasses
+
+        cfg = copy.deepcopy(cfg)
+
+        def fields_of(engine_cls):
+            return {f.name for f in dataclasses.fields(engine_cls)}
+
+        kw = self._engine_kwargs
+        if self.mode == "nerf":
+            from ngp_tpu.data.nerf_loader import load_nerf
+            from ngp_tpu.engines.nerf import NerfEngine
+
+            ds = load_nerf(self.scene)
+            self.engine = NerfEngine(
+                cfg, ds, **{k: v for k, v in kw.items() if k in fields_of(NerfEngine)}
+            )
+            self.state = self.engine.init_state()
+            self.grid = self.engine.init_grid()
+        elif self.mode == "sdf":
+            from ngp_tpu.engines.sdf import SdfEngine
+
+            self.engine = SdfEngine.from_file(
+                cfg, self.scene,
+                **{k: v for k, v in kw.items() if k in fields_of(SdfEngine)},
+            )
+            self.state = self.engine.init_state()
+        elif self.mode == "volume":
+            from ngp_tpu.data.volume import load_volume
+            from ngp_tpu.engines.volume import VolumeEngine
+
+            self.engine = VolumeEngine(
+                cfg, load_volume(self.scene),
+                **{k: v for k, v in kw.items() if k in fields_of(VolumeEngine)},
+            )
+            self.state = self.engine.init_state()
+        elif self.mode == "image":
+            from ngp_tpu.data.image_loader import load_image
+            from ngp_tpu.engines.image import ImageEngine
+
+            img = load_image(self.scene)
+            self.engine = ImageEngine(
+                cfg, img, **{k: v for k, v in kw.items() if k in fields_of(ImageEngine)}
+            )
+            self.state = self.engine.init_state()
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+    # -- training
+
+    @property
+    def training_step(self) -> int:
+        return int(self.state.step) if self.state is not None else 0
+
+    def train(self, n_steps: int) -> None:
+        if self.mode == "nerf":
+            self.state, self.grid, metrics = self.engine.train(
+                self.state, self.grid, n_steps
+            )
+            self.loss = float(metrics["loss"])
+        elif self.mode == "image":
+            self.state, losses = self.engine.train(self.state, n_steps)
+            self.loss = float(losses[-1])
+        else:
+            self.state, loss = self.engine.train(self.state, n_steps)
+            self.loss = float(loss)
+
+    # -- rendering
+
+    def render(self, width: int, height: int, spp: int = 1,
+               camera_matrix=None, eye=None, lookat=None, fov_deg: float = 50.0,
+               training_view: int | None = None) -> np.ndarray:
+        """Render an image as (H, W, 3) float32 — ``pyngp.Testbed.render``."""
+        if self.mode == "nerf":
+            if training_view is not None:
+                img = self.engine.render_image(self.state, self.grid, training_view)
+                return np.asarray(img)
+            if camera_matrix is None:
+                camera_matrix = np.asarray(self.engine.data.xforms[0])
+            import jax.numpy as jnp
+
+            W, H = width, height
+            f = 0.5 * H / np.tan(0.5 * np.radians(fov_deg))
+            xs = (np.arange(W) + 0.5) / W
+            ys = (np.arange(H) + 0.5) / H
+            px, py = np.meshgrid(xs, ys)
+            x = (px - 0.5) * W / f
+            y = (py - 0.5) * H / f
+            dc = np.stack([x, y, np.ones_like(x)], -1).reshape(-1, 3)
+            m = np.asarray(camera_matrix)
+            d = dc @ m[:, :3].T
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            o = np.broadcast_to(m[:, 3], d.shape)
+            rgb, _, _ = self.engine.render_rays(
+                self.state, self.grid, jnp.asarray(o.astype(np.float32)),
+                jnp.asarray(d.astype(np.float32)),
+            )
+            return np.asarray(rgb).reshape(H, W, 3)
+        if self.mode == "sdf":
+            eye = eye if eye is not None else [0.5, 0.5, 2.0]
+            lookat = lookat if lookat is not None else [0.5, 0.5, 0.5]
+            img, _ = self.engine.render_image(
+                self.state, eye, lookat, resolution=(width, height), fov_deg=fov_deg
+            )
+            return img
+        if self.mode == "volume":
+            eye = eye if eye is not None else [0.5, 0.5, 2.2]
+            lookat = lookat if lookat is not None else [0.5, 0.5, 0.5]
+            img, _ = self.engine.render_image(
+                self.state, eye, lookat, resolution=(width, height), fov_deg=fov_deg
+            )
+            return img
+        if self.mode == "image":
+            return np.asarray(self.engine.render(self.state, width, height))
+        raise ValueError(self.mode)
+
+    # -- evaluation
+
+    def psnr(self, view: int = 0, stride: int = 1) -> float:
+        assert self.mode == "nerf"
+        return self.engine.psnr(self.state, self.grid, view, stride)
+
+    def calculate_iou(self, n_samples: int = 1 << 17) -> float:
+        assert self.mode == "sdf"
+        return self.engine.calculate_iou(self.state, n_samples)
+
+    def compute_image_mse(self) -> float:
+        assert self.mode == "image"
+        return float(self.engine.compute_mse(self.state))
+
+    # -- products
+
+    def compute_marching_cubes_mesh(self, resolution: int = 256, thresh: float = 2.5):
+        if self.mode == "nerf":
+            return self.engine.compute_marching_cubes_mesh(
+                self.state, resolution, thresh
+            )
+        if self.mode == "sdf":
+            return self.engine.compute_marching_cubes_mesh(self.state, resolution)
+        raise ValueError("mesh export needs nerf or sdf mode")
+
+    def save_snapshot(self, path: str) -> None:
+        if self.mode == "nerf":
+            self.engine.save_snapshot(path, self.state, self.grid)
+        else:
+            self.engine.save_snapshot(path, self.state)
+
+    def load_snapshot(self, path: str) -> None:
+        if self.mode == "nerf":
+            self.state, self.grid = self.engine.load_snapshot(path)
+        else:
+            self.state = self.engine.load_snapshot(path)
