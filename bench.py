@@ -53,13 +53,14 @@ def main():
     state = engine.init_state()
     grid = engine.init_grid()
 
-    # Warmup + early training (compiles the large-K buckets).
-    warm_steps = 320
+    # Warmup + early training (compiles the large-K buckets; the occupancy
+    # grid prunes around step ~400).
+    warm_steps = 448
     state, grid, _ = engine.train(state, grid, warm_steps)
     jax.block_until_ready(state.params)
 
     # Measured window at (mostly) stabilized batch geometry.
-    measure_steps = 512
+    measure_steps = 384
     t0 = time.time()
     state, grid, metrics = engine.train(state, grid, measure_steps)
     jax.block_until_ready(state.params)
@@ -69,7 +70,7 @@ def main():
     steps_per_s = measure_steps / dt
 
     # Continue a bit, then evaluate PSNR on a training view.
-    state, grid, _ = engine.train(state, grid, 1024)
+    state, grid, _ = engine.train(state, grid, 512)
     psnr = engine.psnr(state, grid, image_index=0, stride=4)
 
     out = {
@@ -80,7 +81,7 @@ def main():
         "extra": {
             "scene": scene,
             "steps_per_s": round(steps_per_s, 2),
-            "psnr_at_step_1856": round(psnr, 2),
+            "psnr_at_step_1344": round(psnr, 2),
             "final_k": engine._k,
             "measure_wall_s": round(dt, 2),
             "total_wall_s": round(time.time() - t_start, 1),

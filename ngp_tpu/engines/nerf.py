@@ -62,6 +62,51 @@ class RayBatch(NamedTuple):
     dirs: jax.Array  # (N, 3) normalized
     target_rgba: jax.Array  # (N, 4) sRGB + straight alpha in [0,1]
     n0: jax.Array  # (N,) jittered stepping-space march start
+    img: jax.Array  # (N,) source image index
+    uv: jax.Array  # (N, 2) pixel uv
+
+
+ERROR_MAP_RES = 16  # testbed.h:674
+MIN_PDF = 0.01
+
+
+class ErrorMapState(NamedTuple):
+    """Per-image training-error maps driving importance sampling
+    (``Testbed::Nerf::Training::ErrorMap``): loss deposits accumulate into
+    ``data``; the CDFs are rebuilt on a growing schedule
+    (``testbed_nerf.cu:3704-3752``) and mixed with MIN_PDF uniform mass
+    like ``construct_cdf_2d``/``construct_cdf_1d``."""
+
+    data: jax.Array  # (I, R, R) accumulated loss
+    cdf_x: jax.Array  # (I, R, R) conditional CDF over x given y
+    cdf_y: jax.Array  # (I, R)
+    cdf_img: jax.Array  # (I,)
+    use_cdf: jax.Array  # () bool — False until first rebuild
+
+
+def _build_cdfs(data: jax.Array):
+    """(I, R, R) error map → normalized, MIN_PDF-mixed CDFs."""
+    I, R, _ = data.shape
+    row = jnp.cumsum(data + 1e-10, axis=2)  # (I, R, R)
+    row_sum = row[:, :, -1]
+    frac = (jnp.arange(R, dtype=jnp.float32) + 1.0) / R
+    cdf_x = (1.0 - MIN_PDF) * row / row_sum[..., None] + MIN_PDF * frac
+    col = jnp.cumsum(row_sum, axis=1)  # (I, R)
+    col_sum = col[:, -1]
+    cdf_y = (1.0 - MIN_PDF) * col / col_sum[:, None] + MIN_PDF * frac
+    img = jnp.cumsum(col_sum)
+    MIN_PMF = 0.1  # image-level mixing (testbed_nerf.cu:3741)
+    ifrac = (jnp.arange(I, dtype=jnp.float32) + 1.0) / I
+    cdf_img = (1.0 - MIN_PMF) * img / img[-1] + MIN_PMF * ifrac
+    return cdf_x, cdf_y, cdf_img
+
+
+def _sample_discrete(cdf_rows: jax.Array, u: jax.Array) -> jax.Array:
+    """Per-row inverse-CDF bin pick: cdf_rows (N, B) ascending (last ≈ 1),
+    u (N,) → bin index. B is tiny (16), so count-compare beats searches."""
+    return jnp.clip(
+        jnp.sum(u[:, None] >= cdf_rows, axis=1), 0, cdf_rows.shape[1] - 1
+    ).astype(jnp.int32)
 
 
 class DatasetArrays(NamedTuple):
@@ -184,6 +229,10 @@ class NerfEngine:
         )
 
         self._jit_cache: dict[Any, Any] = {}
+        self.use_importance_sampling = bool(ds.wants_importance_sampling)
+        self._emap: ErrorMapState | None = None
+        self._emap_interval = 128  # n_steps_between_error_map_updates
+        self._emap_next_rebuild = 128
 
     @staticmethod
     def _pow2_clamp(x: float, lo: int, hi: int) -> int:
@@ -262,15 +311,45 @@ class NerfEngine:
             )
         return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
 
-    def _sample_ray_batch(self, key: jax.Array, data: DatasetArrays, n: int) -> RayBatch:
+    def init_error_map(self) -> ErrorMapState:
+        I = self.data.images.shape[0]
+        R = ERROR_MAP_RES
+        data = jnp.zeros((I, R, R), jnp.float32)
+        cdf_x, cdf_y, cdf_img = _build_cdfs(data)
+        return ErrorMapState(data, cdf_x, cdf_y, cdf_img, jnp.asarray(False))
+
+    def _sample_ray_batch(
+        self, key: jax.Array, data: DatasetArrays, n: int,
+        emap: ErrorMapState | None = None,
+    ) -> RayBatch:
         """Pick (image, pixel) pairs and build world rays + targets —
         ``generate_training_samples_nerf``'s ray setup
-        (``testbed_nerf.cu:1417-1490``), uniform sampling (error-map CDF
-        importance sampling is a later addition)."""
+        (``testbed_nerf.cu:1417-1490``). With a valid error map, images and
+        pixels are drawn from the loss CDFs (``image_idx`` /
+        ``nerf_random_image_pos_training``) — gradients stay importance-
+        weighted on purpose, like the reference."""
         W, H = self.resolution
         kimg, kuv, kjit = jax.random.split(key, 3)
-        img = jax.random.randint(kimg, (n,), 0, data.images.shape[0])
-        uv = jax.random.uniform(kuv, (n, 2))
+        img_uniform = jax.random.randint(kimg, (n,), 0, data.images.shape[0])
+        uv_uniform = jax.random.uniform(kuv, (n, 2))
+        if emap is not None:
+            R = ERROR_MAP_RES
+            u3 = jax.random.uniform(jax.random.fold_in(key, 3), (n, 3))
+            img_cdf = _sample_discrete(
+                jnp.broadcast_to(emap.cdf_img[None, :], (n, emap.cdf_img.shape[0])),
+                u3[:, 0],
+            )
+            by = _sample_discrete(emap.cdf_y[img_cdf], u3[:, 1])
+            bx = _sample_discrete(
+                emap.cdf_x[img_cdf, by], u3[:, 2]
+            )
+            jit2 = jax.random.uniform(jax.random.fold_in(key, 4), (n, 2))
+            uv_cdf = (jnp.stack([bx, by], -1).astype(jnp.float32) + jit2) / R
+            img = jnp.where(emap.use_cdf, img_cdf, img_uniform)
+            uv = jnp.where(emap.use_cdf, uv_cdf, uv_uniform)
+        else:
+            img = img_uniform
+            uv = uv_uniform
         px = jnp.clip(
             jnp.floor(uv * jnp.asarray([W, H], jnp.float32)).astype(jnp.int32),
             0,
@@ -293,7 +372,7 @@ class NerfEngine:
 
         tmin, _ = ray_aabb_range(o, d, self.aabb.min, self.aabb.max)
         n0 = self.stepping.to_steps(tmin) + jax.random.uniform(kjit, (n,))
-        return RayBatch(o, d, rgba, n0)
+        return RayBatch(o, d, rgba, n0, img, uv)
 
     # -- training
 
@@ -309,11 +388,17 @@ class NerfEngine:
         raw = self.network(params, pos_w, dir_w)
         return raw.reshape(N, K, 4)
 
-    def batch_loss_and_grads(self, params, bitfield, mean_density, key, data, k: int, n_rays: int):
-        """Sample a ray batch, march, and compute (loss, aux, grads) — the
-        shard-local core reused by both the single-chip step and the
-        data-parallel step (ngp_tpu/parallel/nerf_dp.py)."""
-        batch = self._sample_ray_batch(key, data, n_rays)
+    def batch_loss_and_grads(
+        self, params, bitfield, mean_density, key, data, k: int, n_rays: int,
+        emap: ErrorMapState | None = None,
+    ):
+        """Sample a ray batch, march, and compute (loss, metrics, grads[,
+        emap']) — the shard-local core reused by both the single-chip step
+        and the data-parallel step (ngp_tpu/parallel/nerf_dp.py). With an
+        error map, rays draw from the loss CDFs and per-ray losses are
+        bilinearly deposited back (``compute_loss_kernel_train_nerf``'s
+        error_map splat, ``testbed_nerf.cu:1870-1900``)."""
+        batch = self._sample_ray_batch(key, data, n_rays, emap)
         marched = march_rays(
             batch.origins,
             batch.dirs,
@@ -365,7 +450,25 @@ class NerfEngine:
             "mean_total": jnp.sum(marched.total)
             / jnp.maximum(jnp.sum(hit.astype(jnp.int32)), 1),
         }
-        return loss, metrics, grads
+        if emap is None:
+            return loss, metrics, grads
+
+        # bilinear error deposit (4-corner scatter; ~4·n_rays elements)
+        R = ERROR_MAP_RES
+        p = jnp.clip(batch.uv * R - 0.5, 0.0, R - 1.0 - 1e-4)
+        p0 = p.astype(jnp.int32)
+        w = p - p0.astype(jnp.float32)
+        val = aux["per_ray_loss"]
+        d = emap.data
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wt = (w[:, 0] if dx else 1 - w[:, 0]) * (w[:, 1] if dy else 1 - w[:, 1])
+                d = d.at[
+                    batch.img,
+                    jnp.minimum(p0[:, 1] + dy, R - 1),
+                    jnp.minimum(p0[:, 0] + dx, R - 1),
+                ].add(wt * val)
+        return loss, metrics, grads, emap._replace(data=d)
 
     def apply_grads(self, state: TrainState, grads) -> TrainState:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -373,20 +476,31 @@ class NerfEngine:
         ema = ema_update(state.ema, params, self.ema_decay, state.step)
         return TrainState(state.step + 1, params, opt_state, ema)
 
-    def _train_step(self, state: TrainState, bitfield, mean_density, key, data, k: int):
+    def _train_step(self, state: TrainState, bitfield, mean_density, key, data, emap, k: int):
         n_rays = self.batch_size // k
-        _, metrics, grads = self.batch_loss_and_grads(
-            state.params, bitfield, mean_density, key, data, k, n_rays
+        _, metrics, grads, emap = self.batch_loss_and_grads(
+            state.params, bitfield, mean_density, key, data, k, n_rays, emap
         )
-        return self.apply_grads(state, grads), metrics
+        return self.apply_grads(state, grads), emap, metrics
 
-    def train_step(self, state, grid: occ.OccupancyGridState, key):
+    def train_step(self, state, grid: occ.OccupancyGridState, emap, key):
         k = self._k
         fn = self._jit_cache.get(("train_step", k))
         if fn is None:
-            fn = jax.jit(partial(self._train_step, k=k), donate_argnums=0)
+            fn = jax.jit(partial(self._train_step, k=k), donate_argnums=(0, 5))
             self._jit_cache[("train_step", k)] = fn
-        return fn(state, grid.bitfield, grid.mean_density, key, self.data)
+        return fn(state, grid.bitfield, grid.mean_density, key, self.data, emap)
+
+    def rebuild_error_map(self, emap: ErrorMapState) -> ErrorMapState:
+        fn = self._jit_cache.get("rebuild_emap")
+        if fn is None:
+            def _rebuild(e):
+                cdf_x, cdf_y, cdf_img = _build_cdfs(e.data)
+                return ErrorMapState(e.data, cdf_x, cdf_y, cdf_img, jnp.asarray(True))
+
+            fn = jax.jit(_rebuild)
+            self._jit_cache["rebuild_emap"] = fn
+        return fn(emap)
 
     def adapt_batch_geometry(self, metrics) -> None:
         """Re-pick the (n_rays, K) bucket from the measured per-ray sample
@@ -472,6 +586,8 @@ class NerfEngine:
         metrics = {}
         base_key = jax.random.PRNGKey(self.seed ^ 0x5EED)
         step0 = int(state.step)  # one sync at entry, then host-side counter
+        if self._emap is None:
+            self._emap = self.init_error_map()
         for step in range(step0, step0 + n_steps):
             if self.reference_prep_cadence:
                 interval = min(max(step // 16, 1), 16)
@@ -485,8 +601,14 @@ class NerfEngine:
                 )
             elif step % self.grid_decay_interval == 0:
                 grid = self.decay_grid(grid)
+            # error-map CDF rebuild on the reference's growing schedule
+            # (every 128 steps, interval ×1.5 after each rebuild)
+            if self.use_importance_sampling and step >= self._emap_next_rebuild:
+                self._emap = self.rebuild_error_map(self._emap)
+                self._emap_interval = int(self._emap_interval * 1.5)
+                self._emap_next_rebuild = step + self._emap_interval
             key = jax.random.fold_in(base_key, 2 * step)
-            state, metrics = self.train_step(state, grid, key)
+            state, self._emap, metrics = self.train_step(state, grid, self._emap, key)
             if (step + 1) % self.adapt_every == 0:
                 self.adapt_batch_geometry(metrics)
             if log_every and step % log_every == 0:

@@ -158,6 +158,7 @@ def nerf_training_loss(
 
     aux = {
         "loss_display": jnp.mean(color_loss) / 3.0,
+        "per_ray_loss": jax.lax.stop_gradient(color_loss) / 3.0,
         "rgb_ray": rgb_ray,
         "depth_ray": comp.depth,
         "measured_samples": jnp.sum(used),

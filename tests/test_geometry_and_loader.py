@@ -97,3 +97,47 @@ def test_load_fox_dataset():
     # rotation should stay orthonormal after conversion
     R = ds.xforms[0, 0, :, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+def test_camera_path_spline_and_json(tmp_path):
+    """Keyframe spline: B-spline stays near control points, endpoints clamp,
+    JSON round-trips with the reference schema keys."""
+    import numpy as np
+    from ngp_tpu.utils.camera_path import (
+        CameraKeyframe, CameraPath, mat_to_quat, quat_to_mat,
+    )
+
+    # quaternion <-> matrix round trip
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        m = quat_to_mat(q.astype(np.float32))
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-5)
+        q2 = mat_to_quat(m)
+        assert abs(abs(np.dot(q, q2)) - 1) < 1e-4
+
+    path = CameraPath()
+    for i in range(4):
+        m = np.eye(4)[:3]
+        m[:, 3] = [i * 1.0, 0, 0]
+        path.keyframes.append(CameraKeyframe.from_matrix(m, fov=40 + i * 5))
+
+    # interior evaluation moves monotonically in x
+    xs = [path.eval_camera_path(t).T[0] for t in np.linspace(0, 1, 9)]
+    assert all(b >= a - 1e-5 for a, b in zip(xs, xs[1:]))
+    # fov interpolates within range
+    f = path.eval_camera_path(0.5).fov
+    assert 40 <= f <= 55
+
+    p = str(tmp_path / "cam.json")
+    path.save(p)
+    import json
+    doc = json.load(open(p))
+    assert "path" in doc and "R" in doc["path"][0] and "T" in doc["path"][0]
+    p2 = CameraPath.load(p)
+    assert len(p2.keyframes) == 4
+    np.testing.assert_allclose(
+        p2.eval_camera_path(0.3).matrix(), path.eval_camera_path(0.3).matrix(),
+        atol=1e-6,
+    )
