@@ -70,7 +70,7 @@ def main():
     steps_per_s = measure_steps / dt
 
     # Continue a bit, then evaluate PSNR on a training view.
-    state, grid, _ = engine.train(state, grid, 512)
+    state, grid, _ = engine.train(state, grid, 256)
     psnr = engine.psnr(state, grid, image_index=0, stride=4)
 
     out = {
@@ -81,7 +81,7 @@ def main():
         "extra": {
             "scene": scene,
             "steps_per_s": round(steps_per_s, 2),
-            "psnr_at_step_1344": round(psnr, 2),
+            "psnr_at_step_1088": round(psnr, 2),
             "final_k": engine._k,
             "measure_wall_s": round(dt, 2),
             "total_wall_s": round(time.time() - t_start, 1),
