@@ -155,6 +155,17 @@ class NerfEngine:
     min_transmittance_train: float = 1e-4
     min_transmittance_render: float = 0.01  # testbed.h:791
     background_color: tuple = (0.0, 0.0, 0.0)  # testbed.h:936
+    # Camera-parameter refinement (testbed.h:708-727). The reference
+    # accumulates gradients for 16 steps and steps host-side Adam
+    # optimizers; here the per-image pose/exposure/focal offsets live in a
+    # "camera" parameter group updated by optax every step with the same
+    # lr decay (x0.33 every 128 steps) and L2 pull toward zero.
+    optimize_extrinsics: bool = False
+    optimize_exposure: bool = False
+    optimize_focal_length: bool = False
+    extrinsic_learning_rate: float = 1e-3
+    extrinsic_l2_reg: float = 1e-4
+    exposure_l2_reg: float = 0.0
 
     def __post_init__(self):
         ds = self.dataset
@@ -199,9 +210,69 @@ class NerfEngine:
         self.network = create_nerf_network(
             self.config, n_extra_dims=ds.n_extra_learnable_dims
         )
+        self.n_extra_dims = int(ds.n_extra_learnable_dims)
+        self.optimize_extra_dims = self.n_extra_dims > 0
         self.loss_fn = get_loss(self.config.get("loss", {"otype": "Huber"}).get("otype", "Huber"))
-        self.tx, self.ema_decay, self.lr_schedule = make_optimizer(
-            self.config["optimizer"], grid_label_fn=default_grid_label_fn
+        model_tx, self.ema_decay, self.lr_schedule = make_optimizer(
+            self.config["optimizer"], grid_label_fn=None
+        )
+
+        # Two-group parameter tree: {"model": ..., "camera": ...}. The model
+        # subtree routes to the tcnn-style stack (sparse-Adam on grid
+        # tables), the camera subtree to its own decayed Adam or to a
+        # freezer when refinement is off.
+        def label_fn(params):
+            def label(path, leaf):
+                names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+                if names and names[0] == "camera":
+                    return "camera" if self._camera_trainable else "frozen"
+                return "grid" if "table" in names else "dense"
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        self._camera_trainable = (
+            self.optimize_extrinsics
+            or self.optimize_exposure
+            or self.optimize_focal_length
+            or self.optimize_extra_dims
+        )
+        import optax as _optax
+
+        from ngp_tpu.optim import _unwrap_ema, _unwrap_schedule, scale_by_adam_skip_zero
+
+        # The reference accumulates camera gradients for 16 train steps and
+        # then takes one Adam step at extrinsic_learning_rate, decaying
+        # ×0.33 every 128 *camera* steps (= 2048 train steps). Our camera
+        # Adam runs every train step, so divide the rate by 16 and stretch
+        # the decay accordingly.
+        cam_schedule = lambda step: jnp.maximum(
+            (self.extrinsic_learning_rate / 16.0) * 0.33 ** (step // 2048),
+            self.lr_schedule(step) / 1000.0,
+        )
+        dense = model_tx
+        inner_cfg, _ = _unwrap_ema(self.config["optimizer"])
+        inner_cfg, _ = _unwrap_schedule(inner_cfg)
+        sparse = _optax.chain(
+            scale_by_adam_skip_zero(
+                b1=float(inner_cfg.get("beta1", 0.9)),
+                b2=float(inner_cfg.get("beta2", 0.999)),
+                eps=float(inner_cfg.get("epsilon", 1e-8)),
+            ),
+            _optax.scale_by_learning_rate(self.lr_schedule),
+        )
+        camera_tx = _optax.chain(
+            _optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8),
+            _optax.add_decayed_weights(self.extrinsic_l2_reg),
+            _optax.scale_by_learning_rate(cam_schedule),
+        )
+        self.tx = _optax.multi_transform(
+            {
+                "dense": dense,
+                "grid": sparse,
+                "camera": camera_tx,
+                "frozen": _optax.set_to_zero(),
+            },
+            label_fn,
         )
 
         # Device-side dataset buffers.
@@ -269,7 +340,21 @@ class NerfEngine:
     # -- initialization
 
     def init_state(self) -> TrainState:
-        params = self.network.init(jax.random.PRNGKey(self.seed))
+        I = self.data.images.shape[0]
+        params = {
+            "model": self.network.init(jax.random.PRNGKey(self.seed)),
+            "camera": {
+                "pos": jnp.zeros((I, 3)),
+                "rot": jnp.zeros((I, 3)),  # rotation vectors
+                "exposure": jnp.zeros((I, 3)),
+                "focal": jnp.zeros((2,)),  # log-scale focal multiplier
+                "latents": 0.1
+                * jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(self.seed), 1),
+                    (I, max(self.n_extra_dims, 1)),
+                ),
+            },
+        }
         return TrainState(
             step=jnp.zeros([], jnp.int32),
             params=params,
@@ -376,17 +461,66 @@ class NerfEngine:
 
     # -- training
 
-    def _network_on_samples(self, params, origins, dirs, marched):
+    def _network_on_samples(self, params, origins, dirs, marched, extra=None):
         """Evaluate the NeRF network at all (ray, sample) slots; returns raw
-        (N, K, 4)."""
+        (N, K, 4). ``params`` is the model subtree; ``extra`` optional
+        per-ray latent codes (N, E)."""
         N, K = marched.t.shape
         pos = origins[:, None, :] + dirs[:, None, :] * marched.t[..., None]
         pos_w = self.aabb.relative_pos(pos).reshape(N * K, 3)
         dir_w = jnp.broadcast_to(
             warp_direction(dirs)[:, None, :], (N, K, 3)
         ).reshape(N * K, 3)
-        raw = self.network(params, pos_w, dir_w)
+        extra_s = None
+        if extra is not None:
+            E = extra.shape[-1]
+            extra_s = jnp.broadcast_to(extra[:, None, :], (N, K, E)).reshape(N * K, E)
+        raw = self.network(
+            params, pos_w, dir_w, extra=extra_s,
+            differentiable_inputs=self.optimize_extrinsics or self.optimize_focal_length,
+        )
         return raw.reshape(N, K, 4)
+
+    @staticmethod
+    def _rodrigues(rotvec):
+        """Batched rotation-vector → matrix (RotationAdamOptimizer's
+        composition, ``adam_optimizer.h``). sinc form with Taylor guards so
+        gradients are finite at the zero rotation."""
+        t2 = jnp.sum(rotvec * rotvec, axis=-1, keepdims=True)  # θ²
+        small = t2 < 1e-8
+        # fully-finite unselected branches (the where-NaN-gradient trap)
+        t2s = jnp.maximum(t2, 1e-8)
+        theta = jnp.sqrt(t2s)
+        a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+        b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+        vx, vy, vz = rotvec[..., 0], rotvec[..., 1], rotvec[..., 2]
+        zeros = jnp.zeros_like(vx)
+        K = jnp.stack(
+            [
+                jnp.stack([zeros, -vz, vy], -1),
+                jnp.stack([vz, zeros, -vx], -1),
+                jnp.stack([-vy, vx, zeros], -1),
+            ],
+            -2,
+        )
+        eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+        return eye + a[..., None] * K + b[..., None] * (K @ K)
+
+    def _adjusted_rays(self, cam, img, uv, data):
+        """Differentiable ray generation with per-image pose offsets and a
+        global log-focal multiplier applied on top of the dataset cameras
+        (``Testbed::Nerf::Training::update_transforms`` semantics)."""
+        W, H = self.resolution
+        focal = data.focals[img] * jnp.exp(cam["focal"])[None, :]
+        pp = data.pps[img]
+        dir_cam = self._pixel_dirs_cam(uv, focal, pp)
+        xf = data.xforms[img]
+        Rdelta = self._rodrigues(cam["rot"][img])
+        Rn = Rdelta @ xf[:, :, :3]
+        d = jnp.einsum("nij,nj->ni", Rn, dir_cam)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = xf[:, :, 3] + cam["pos"][img]
+        return o, d
 
     def batch_loss_and_grads(
         self, params, bitfield, mean_density, key, data, k: int, n_rays: int,
@@ -419,13 +553,26 @@ class NerfEngine:
             bg = jnp.broadcast_to(
                 jnp.asarray(self.background_color), (n_rays, 3)
             )
-        # Targets pre-composited over the background in sRGB space
-        # (testbed_nerf.cu:1805-1820 SRGB branch, exposure = 0).
-        a = batch.target_rgba[:, 3:4]
-        target = batch.target_rgba[:, :3] * a + (1.0 - a) * bg
+
+        from ngp_tpu.ops.tonemap import linear_to_srgb, srgb_to_linear
 
         def loss_of(p):
-            raw = self._network_on_samples(p, batch.origins, batch.dirs, marched)
+            cam = p["camera"]
+            if self.optimize_extrinsics or self.optimize_focal_length:
+                o, d = self._adjusted_rays(cam, batch.img, batch.uv, data)
+            else:
+                o, d = batch.origins, batch.dirs
+            extra = cam["latents"][batch.img] if self.n_extra_dims > 0 else None
+            # Targets pre-composited over the background in sRGB space
+            # (testbed_nerf.cu:1805-1820 SRGB branch); per-image exposure
+            # scales the linear color before re-encoding.
+            a = batch.target_rgba[:, 3:4]
+            rgb_t = batch.target_rgba[:, :3]
+            if self.optimize_exposure:
+                scale = jnp.exp2(cam["exposure"][batch.img])
+                rgb_t = linear_to_srgb(srgb_to_linear(rgb_t) * scale)
+            target = rgb_t * a + (1.0 - a) * bg
+            raw = self._network_on_samples(p["model"], o, d, marched, extra)
             return nerf_training_loss(
                 raw,
                 marched.dt,
@@ -564,7 +711,7 @@ class NerfEngine:
                 self.grid_cfg, key, grid.density, n_part, n_part
             )
         pos_w = self.aabb.relative_pos(pos)
-        raw = self.chunked_density(params, pos_w)
+        raw = self.chunked_density(params["model"], pos_w)
         sigma = density_activation(self.density_act)(raw)
         # Culled cells (-1) must not resurrect: their splat is ignored by
         # ema_update_density's where(density < 0).
@@ -653,8 +800,13 @@ class NerfEngine:
         if pad:
             pos_w = jnp.concatenate([pos_w, jnp.zeros((pad, 3))], 0)
             dir_w = jnp.concatenate([dir_w, jnp.zeros((pad, 3))], 0)
+        if self.n_extra_dims > 0:
+            ez = jnp.zeros((chunk, self.n_extra_dims))
+            net = lambda a: self.network(params["model"], a[0], a[1], extra=ez)
+        else:
+            net = lambda a: self.network(params["model"], a[0], a[1])
         raw = jax.lax.map(
-            lambda args: self.network(params, args[0], args[1]),
+            net,
             (pos_w.reshape(-1, chunk, 3), dir_w.reshape(-1, chunk, 3)),
         ).reshape(-1, 4)[:n].reshape(N, K, 4)
         rgb = rgb_activation(self.rgb_act)(raw[..., :3])
@@ -750,7 +902,7 @@ class NerfEngine:
         axes = [np.linspace(lo[d], hi[d], n, dtype=np.float32) for d in range(3)]
         grid_pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
         pos_w = self.aabb.relative_pos(jnp.asarray(grid_pts))
-        raw = np.asarray(self.chunked_density(params, pos_w))
+        raw = np.asarray(self.chunked_density(params["model"], pos_w))
         field = raw.reshape(n, n, n)
         spacing = (hi - lo) / (n - 1)
         return marching_cubes(field, density_thresh, origin=lo, spacing=spacing)

@@ -284,7 +284,7 @@ class GridEncoding(Encoding):
             # integer mod, which also matters for the Pallas kernel (TPU
             # has no vector integer division). Tiled levels genuinely wrap.
             stride = r.astype(jnp.uint32) ** jnp.arange(D, dtype=jnp.uint32)
-            cpos_c = jnp.minimum(cpos, r - 1)
+            cpos_c = jnp.clip(cpos, 0, r - 1)
             lin = jnp.sum(cpos_c.astype(jnp.uint32) * stride, axis=-1)
             if self.grid_type == "Tiled":
                 lin = lin % size.astype(jnp.uint32)
@@ -341,8 +341,10 @@ class GridEncoding(Encoding):
             return out2
         idx, w = self.indices_and_weights(x)
         if differentiable_inputs:
+            # mode="clip": the default out-of-bounds fill is NaN, and
+            # samples outside the AABB legitimately index out of range
             feats = jnp.take_along_axis(
-                table, idx.reshape(self.n_levels, -1, 1), axis=1
+                table, idx.reshape(self.n_levels, -1, 1), axis=1, mode="clip"
             )  # (L, N*C, F)
             C = 1 << self.n_input_dims
             feats = feats.reshape(

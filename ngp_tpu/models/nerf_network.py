@@ -49,13 +49,26 @@ class NerfNetwork:
         )
 
     def density(
-        self, params, pos: jax.Array, max_level: int | None = None
+        self,
+        params,
+        pos: jax.Array,
+        max_level: int | None = None,
+        differentiable_inputs: bool = False,
     ) -> jax.Array:
         """Raw density-network output (N, 16); channel 0 is raw log-density.
 
         Counterpart of ``NerfNetwork::density`` used for occupancy-grid
-        updates (``testbed_nerf.cu:3500-3516``)."""
-        kwargs = {"max_level": max_level} if max_level is not None else {}
+        updates (``testbed_nerf.cu:3500-3516``). Pass
+        ``differentiable_inputs=True`` where d(out)/d(pos) must flow (camera
+        refinement, analytic normals) — the grid encoding's fast custom VJP
+        does not propagate input gradients."""
+        kwargs = {}
+        if max_level is not None:
+            kwargs["max_level"] = max_level
+        from ngp_tpu.models.encodings import GridEncoding
+
+        if differentiable_inputs and isinstance(self.pos_encoding, GridEncoding):
+            kwargs["differentiable_inputs"] = True
         enc = self.pos_encoding(params["pos_encoding"], pos, **kwargs)
         return self.density_mlp(params["density_mlp"], enc)
 
@@ -66,10 +79,14 @@ class NerfNetwork:
         dirs: jax.Array,
         extra: jax.Array | None = None,
         max_level: int | None = None,
+        differentiable_inputs: bool = False,
     ) -> jax.Array:
         """Full forward: (N,3) warped pos + (N,3) warped dir (+ extras) →
         (N, 4) raw [r, g, b, sigma]."""
-        feat = self.density(params, pos, max_level=max_level)
+        feat = self.density(
+            params, pos, max_level=max_level,
+            differentiable_inputs=differentiable_inputs,
+        )
         dir_in = dirs if extra is None else jnp.concatenate([dirs, extra], axis=-1)
         dir_enc = self.dir_encoding(params["dir_encoding"], dir_in)
         rgb_in = jnp.concatenate([feat, dir_enc], axis=-1)

@@ -24,9 +24,11 @@ import jax.numpy as jnp
 
 @jax.custom_jvp
 def density_activation_exp(x):
-    """Forward: unclamped exp. Backward: derivative of exp clamped to
-    e^±15 — the reference's asymmetric clamp."""
-    return jnp.exp(x)
+    """Forward: exp clamped at e^30 (the reference leaves the fp32 exp
+    unclamped — an overflow hazard its fp16 pipeline saturates away; e^30
+    is opaque within 1e-13 of a step). Backward: derivative of exp clamped
+    to e^±15 — the reference's asymmetric clamp."""
+    return jnp.exp(jnp.minimum(x, 30.0))
 
 
 @density_activation_exp.defjvp
@@ -84,17 +86,24 @@ def composite(
     ``T`` the exclusive product of ``1-alpha``; samples after ``T`` drops
     below ``min_transmittance`` are cut, matching the reference's early-out
     (``testbed_nerf.cu:1729-1731`` training, ``min_transmittance`` render)."""
-    alpha = jnp.where(valid, 1.0 - jnp.exp(-sigma * dt), 0.0)
-    one_minus = 1.0 - alpha
-    T = jnp.cumprod(
-        jnp.concatenate([jnp.ones_like(alpha[:, :1]), one_minus[:, :-1]], axis=1),
+    # Transmittance in log space: cumprod's VJP divides by its inputs, so a
+    # saturated alpha (exactly 1 when σ·dt ≳ 17 in fp32) would NaN the
+    # backward. log1p+cumsum+exp has no divisions; alpha is clamped a hair
+    # below 1 so log1p stays finite (grad then cleanly multiplies by T=0).
+    alpha = jnp.where(
+        valid, jnp.clip(1.0 - jnp.exp(-sigma * dt), 0.0, 1.0 - 1e-7), 0.0
+    )
+    log_one_minus = jnp.log1p(-alpha)
+    logT = jnp.concatenate(
+        [jnp.zeros_like(alpha[:, :1]), jnp.cumsum(log_one_minus[:, :-1], axis=1)],
         axis=1,
     )
+    T = jnp.exp(logT)
     used = valid & (T >= min_transmittance)
     w = jnp.where(used, alpha * T, 0.0)
     rgb = jnp.einsum("nk,nkc->nc", w, rgb_samples)
     depth = jnp.sum(w * t_mid, axis=1)
-    T_final = jnp.prod(jnp.where(used, one_minus, 1.0), axis=1)
+    T_final = jnp.exp(jnp.sum(jnp.where(used, log_one_minus, 0.0), axis=1))
     return CompositedRays(rgb, depth, 1.0 - T_final, T_final, w, used)
 
 

@@ -161,3 +161,57 @@ def test_train_sphere_to_psnr(engine):
         state2, grid2 = engine.load_snapshot(p)
         psnr2 = engine.psnr(state2, grid2, image_index=0, stride=2)
         assert abs(psnr2 - psnr) < 0.5
+
+
+@pytest.mark.slow
+def test_camera_refinement_recovers_pose_noise():
+    """Perturb training poses; with optimize_extrinsics the camera offsets
+    must move to compensate (lower loss than frozen cameras)."""
+    ds = _make_dataset()
+    rng = np.random.default_rng(4)
+    noise = rng.normal(0, 0.01, size=(ds.n_images, 3)).astype(np.float32)
+    ds.xforms[:, :, :, 3] += noise[:, None, :]
+
+    results = {}
+    for opt in (False, True):
+        eng = NerfEngine(
+            dict(CONFIG), ds, batch_size=1 << 13, grid_size=16,
+            n_steps_per_unit=128, density_grid_decay=0.8, seed=21,
+            optimize_extrinsics=opt,
+        )
+        state = eng.init_state()
+        grid = eng.init_grid()
+        state, grid, m = eng.train(state, grid, 250)
+        results[opt] = (float(m["loss"]), state)
+
+    loss_frozen, state_frozen = results[False]
+    loss_opt, state_opt = results[True]
+    # camera params moved
+    pos_off = np.asarray(state_opt.params["camera"]["pos"])
+    assert np.abs(pos_off).max() > 1e-4
+    assert np.abs(np.asarray(state_frozen.params["camera"]["pos"])).max() == 0
+    # refinement should not be worse (and typically clearly better)
+    assert loss_opt < loss_frozen * 1.2, (loss_opt, loss_frozen)
+
+
+@pytest.mark.slow
+def test_extra_learnable_dims():
+    """Per-image appearance latents: dataset with n_extra_learnable_dims
+    trains end-to-end and the latents receive gradients."""
+    ds = _make_dataset()
+    ds.n_extra_learnable_dims = 4
+    eng = NerfEngine(
+        dict(CONFIG), ds, batch_size=1 << 13, grid_size=16,
+        n_steps_per_unit=128, density_grid_decay=0.8, seed=22,
+    )
+    assert eng.n_extra_dims == 4
+    state = eng.init_state()
+    grid = eng.init_grid()
+    lat0 = np.asarray(state.params["camera"]["latents"]).copy()
+    state, grid, m = eng.train(state, grid, 60)
+    assert np.isfinite(float(m["loss"]))
+    lat1 = np.asarray(state.params["camera"]["latents"])
+    assert np.abs(lat1 - lat0).max() > 1e-5
+    # rendering works with zero latents
+    img = np.asarray(eng.render_image(state, grid, 0, stride=4))
+    assert np.isfinite(img).all()
