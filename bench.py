@@ -8,31 +8,59 @@ Baseline estimate: the reference trains "a fox NeRF in under 5 seconds" on
 an RTX 3090 (``/root/reference/README.md:5``) at batch 2^18 samples/step —
 roughly 1000 steps in ~5 s ≈ **5.2e7 training samples/s**. ``vs_baseline``
 is measured samples/s against that estimate.
+
+The whole run is wall-clock budgeted (``BENCH_BUDGET_S``, default 1500 s —
+first compiles on a cold cache eat minutes; a persistent compile cache makes
+later invocations cheap). Every phase checks the deadline and degrades
+gracefully; the JSON line is printed even on error/timeout, with whatever
+was measured so far.
 """
 
 from __future__ import annotations
 
 import json
-import math
 import os
+import signal
 import sys
 import time
 
 FOX = "/root/reference/data/nerf/fox"
 BASELINE_SAMPLES_PER_S = 5.2e7
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
+T_START = time.time()
+
+RESULT = {
+    "metric": "nerf_train_samples_per_s",
+    "value": 0.0,
+    "unit": "samples/s",
+    "vs_baseline": 0.0,
+    "extra": {"phase": "init"},
+}
+
+
+def emit_and_exit(signum=None, frame=None):
+    RESULT["extra"]["total_wall_s"] = round(time.time() - T_START, 1)
+    print(json.dumps(RESULT), flush=True)
+    sys.exit(0)
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
 
 
 def main():
+    # A hard alarm slightly inside the budget guarantees the JSON line is
+    # printed even if a compile or a device call hangs.
+    signal.signal(signal.SIGALRM, emit_and_exit)
+    signal.alarm(max(int(BUDGET_S) - 5, 30))
+
     import jax
 
-    # Persistent compilation cache: the tunnel's remote compiler takes
-    # minutes per program; cache across bench invocations.
     cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-    t_start = time.time()
     from ngp_tpu.engines.nerf import NerfEngine
 
     if os.path.isdir(FOX):
@@ -49,48 +77,89 @@ def main():
     from __graft_entry__ import _default_config
 
     engine = NerfEngine(_default_config(), dataset, batch_size=1 << 18)
-
     state = engine.init_state()
     grid = engine.init_grid()
+    RESULT["extra"] = {
+        "scene": scene,
+        "backend": jax.default_backend(),
+        "n_devices": jax.device_count(),
+        "phase": "warmup",
+    }
 
-    # Warmup + early training (compiles the large-K buckets; the occupancy
-    # grid prunes around step ~400).
-    warm_steps = 448
-    state, grid, _ = engine.train(state, grid, warm_steps)
+    # Warmup: compile + let the occupancy grid prune. Chunked so the
+    # deadline is honored between chunks. Keep at least 35% of the budget
+    # for the measurement itself.
+    warm_steps = 0
+    warm_target = 448
+    t_measure_reserve = 0.35 * BUDGET_S
+    while warm_steps < warm_target and remaining() > t_measure_reserve:
+        n = min(32, warm_target - warm_steps)
+        state, grid, _ = engine.train(state, grid, n)
+        warm_steps += n
     jax.block_until_ready(state.params)
+    RESULT["extra"]["warm_steps"] = warm_steps
 
-    # Measured window at (mostly) stabilized batch geometry.
-    measure_steps = 384
+    # Measured window: fixed seconds, chunked steps.
+    RESULT["extra"]["phase"] = "measure"
+    window_s = min(60.0, max(remaining() - 60.0, 10.0))
     t0 = time.time()
-    state, grid, metrics = engine.train(state, grid, measure_steps)
+    measured = 0
+    while time.time() - t0 < window_s and remaining() > 30:
+        state, grid, _ = engine.train(state, grid, 16)
+        measured += 16
     jax.block_until_ready(state.params)
     dt = time.time() - t0
+    if measured == 0:  # budget exhausted before any measured step
+        emit_and_exit()
 
-    samples_per_s = measure_steps * engine.batch_size / dt
-    steps_per_s = measure_steps / dt
+    # Count what the network actually processes per step (= the quantity
+    # the reference's 2^18 batch counts: compacted samples).
+    samples_per_s = measured * engine.samples_per_step / dt
+    RESULT["value"] = round(samples_per_s, 1)
+    RESULT["vs_baseline"] = round(samples_per_s / BASELINE_SAMPLES_PER_S, 4)
+    RESULT["extra"].update(
+        steps_per_s=round(measured / dt, 2),
+        measured_steps=measured,
+        measure_wall_s=round(dt, 2),
+        final_k=engine._k,
+        step_at_measure_end=int(state.step),
+        phase="eval",
+    )
 
-    # Continue a bit, then evaluate PSNR on a training view.
-    state, grid, _ = engine.train(state, grid, 256)
-    psnr = engine.psnr(state, grid, image_index=0, stride=4)
+    # Optional quality datum if budget allows.
+    if remaining() > 60:
+        try:
+            psnr = engine.psnr(state, grid, image_index=0, stride=4)
+            RESULT["extra"][f"train_view_psnr_step{int(state.step)}"] = round(psnr, 2)
+        except Exception as e:  # noqa: BLE001
+            RESULT["extra"]["psnr_error"] = repr(e)
 
-    out = {
-        "metric": "nerf_train_samples_per_s",
-        "value": round(samples_per_s, 1),
-        "unit": "samples/s",
-        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
-        "extra": {
-            "scene": scene,
-            "steps_per_s": round(steps_per_s, 2),
-            "psnr_at_step_1088": round(psnr, 2),
-            "final_k": engine._k,
-            "measure_wall_s": round(dt, 2),
-            "total_wall_s": round(time.time() - t_start, 1),
-            "backend": jax.default_backend(),
-            "n_devices": jax.device_count(),
-        },
-    }
-    print(json.dumps(out))
+    # Optional DP scaling-efficiency datum on a virtual CPU mesh
+    # (BASELINE.md: >=80% rays/s scaling efficiency). Run in a subprocess so
+    # the CPU platform/device-count env doesn't disturb this process.
+    if remaining() > 120 and os.environ.get("BENCH_SCALING", "1") == "1":
+        try:
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__) or ".",
+                                              "scripts", "bench_scaling.py")],
+                capture_output=True, text=True, timeout=max(remaining() - 30, 60),
+            )
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            RESULT["extra"]["dp_scaling"] = json.loads(line) if line.startswith("{") else line[:200]
+        except Exception as e:  # noqa: BLE001
+            RESULT["extra"]["dp_scaling"] = f"error: {e!r}"
+
+    RESULT["extra"]["phase"] = "done"
+    emit_and_exit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001
+        RESULT["extra"]["error"] = repr(e)[:500]
+        emit_and_exit()

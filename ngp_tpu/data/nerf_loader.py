@@ -77,8 +77,13 @@ class NerfDataset:
     n_extra_learnable_dims: int = 0
     wants_importance_sampling: bool = True
     render_aabb: tuple | None = None  # ((3,), (3,)) in NGP space
-    depths: np.ndarray | None = None  # (N, H, W) float32 optional
+    depths: np.ndarray | None = None  # (N, H, W) float32 — 0 where absent;
+    # values are NGP-scale z-depths (raw * integer_depth_scale * scale),
+    # matching set_training_image's depth_scale * scale
+    # (src/nerf_loader.cu:711, copy_depth kernel :81-89)
     sharpness: np.ndarray | None = None
+    rolling_shutter: tuple = (0.0, 0.0, 0.0, 0.0)  # (offset, sx, sy, duration)
+    envmap: np.ndarray | None = None  # (He, We, 4) float32 latlong HDR
 
     @property
     def n_images(self) -> int:
@@ -174,6 +179,16 @@ def load_nerf(path: str, sharpen: float = 0.0) -> NerfDataset:
     if offset.ndim == 0:
         offset = np.full(3, float(offset), np.float32)
     aabb_scale = int(top.get("aabb_scale", 1))
+    # Fail at load time like load_nerf_post (testbed_nerf.cu:3080-3092).
+    if aabb_scale < 1 or aabb_scale & (aabb_scale - 1):
+        raise ValueError(
+            f"NeRF dataset's `aabb_scale` must be a power of two, but is "
+            f"{aabb_scale}."
+        )
+    if aabb_scale > 128:
+        raise ValueError(
+            f"NeRF dataset must have `aabb_scale <= 128`, but is {aabb_scale}."
+        )
     if "aabb" in top:
         # Fit the given aabb into the unit cube (nerf_loader.cu:489-494).
         aabb = np.asarray(top["aabb"], np.float32)
@@ -255,6 +270,56 @@ def load_nerf(path: str, sharpen: float = 0.0) -> NerfDataset:
             np.float32,
         )
 
+    # Depth maps (16-bit pngs scaled by integer_depth_scale then scene
+    # scale — src/nerf_loader.cu:471-472, 609-619, copy_depth :81-89).
+    depths = None
+    depth_scale = float(top.get("integer_depth_scale", -1.0))
+    if depth_scale > 0 and bool(top.get("enable_depth_loading", True)):
+        from PIL import Image
+
+        maps = np.zeros((n, H, W), np.float32)
+        any_depth = False
+        for i, (j, base, fr) in enumerate(frames_all):
+            if "depth_path" not in fr:
+                continue
+            dp = _resolve_path(base, fr["depth_path"])
+            if not os.path.exists(dp):
+                continue
+            with Image.open(dp) as im:
+                d = np.asarray(im, np.float32)
+            if d.ndim == 3:
+                d = d[..., 0]
+            if d.shape != (H, W):
+                raise ValueError(f"depth image {dp} has wrong resolution")
+            maps[i] = d * depth_scale * scale
+            any_depth = True
+        if any_depth:
+            depths = maps
+
+    # Rolling shutter / motion blur (per-dataset vec4, lerping each frame's
+    # transform_matrix_start/_end per ray — src/testbed_nerf.cu:2270-2273).
+    rs = top.get("rolling_shutter", [0.0, 0.0, 0.0, 0.0])
+    rolling_shutter = tuple(float(v) for v in (list(rs) + [0.0] * 4)[:4])
+
+    # Environment map (latlong exr/image, src/nerf_loader.cu:516-528).
+    envmap = None
+    if "envmap" in top:
+        ep = _resolve_path(os.path.dirname(jsons[0]), top["envmap"])
+        if os.path.exists(ep):
+            if ep.lower().endswith(".exr"):
+                from ngp_tpu.data.exr import read_exr
+
+                envmap = read_exr(ep).astype(np.float32)
+            else:
+                from PIL import Image
+
+                with Image.open(ep) as im:
+                    envmap = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+            if envmap.shape[-1] == 3:
+                envmap = np.concatenate(
+                    [envmap, np.ones_like(envmap[..., :1])], -1
+                )
+
     return NerfDataset(
         images=images,
         xforms=xforms,
@@ -270,5 +335,8 @@ def load_nerf(path: str, sharpen: float = 0.0) -> NerfDataset:
         is_hdr=is_hdr,
         n_extra_learnable_dims=int(top.get("n_extra_learnable_dims", 0)),
         render_aabb=render_aabb,
+        depths=depths,
         sharpness=sharpness,
+        rolling_shutter=rolling_shutter,
+        envmap=envmap,
     )

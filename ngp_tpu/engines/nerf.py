@@ -39,6 +39,7 @@ from ngp_tpu.geometry.camera import (
     LENS_OPENCV,
     LENS_OPENCV_FISHEYE,
     LENS_PINHOLE,
+    grid_at_lerp,
     iterative_undistortion,
     opencv_fisheye_lens_distortion_delta,
     opencv_lens_distortion_delta,
@@ -64,10 +65,87 @@ class RayBatch(NamedTuple):
     n0: jax.Array  # (N,) jittered stepping-space march start
     img: jax.Array  # (N,) source image index
     uv: jax.Array  # (N, 2) pixel uv
+    target_depth: jax.Array | None = None  # (N,) GT ray distance, 0 = none
 
 
 ERROR_MAP_RES = 16  # testbed.h:674
 MIN_PDF = 0.01
+
+
+def _mat_to_quat(m: jax.Array) -> jax.Array:
+    """Batched (N, 3, 3) rotation → (N, 4) quaternion (w, x, y, z) via the
+    branch-free Shepperd construction: compute all four candidate forms and
+    select the numerically largest pivot."""
+    t = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    # candidate squared pivots (×4): w², x², y², z²
+    qw2 = jnp.maximum(1.0 + t, 0.0)
+    qx2 = jnp.maximum(1.0 + m[..., 0, 0] - m[..., 1, 1] - m[..., 2, 2], 0.0)
+    qy2 = jnp.maximum(1.0 - m[..., 0, 0] + m[..., 1, 1] - m[..., 2, 2], 0.0)
+    qz2 = jnp.maximum(1.0 - m[..., 0, 0] - m[..., 1, 1] + m[..., 2, 2], 0.0)
+    cands = jnp.stack([qw2, qx2, qy2, qz2], -1)
+    pick = jnp.argmax(cands, axis=-1)
+    s_w = 0.5 / jnp.sqrt(jnp.maximum(qw2, 1e-12))
+    q_w = jnp.stack([
+        0.25 / s_w,
+        (m[..., 2, 1] - m[..., 1, 2]) * s_w,
+        (m[..., 0, 2] - m[..., 2, 0]) * s_w,
+        (m[..., 1, 0] - m[..., 0, 1]) * s_w,
+    ], -1)
+    s_x = 0.5 / jnp.sqrt(jnp.maximum(qx2, 1e-12))
+    q_x = jnp.stack([
+        (m[..., 2, 1] - m[..., 1, 2]) * s_x,
+        0.25 / s_x,
+        (m[..., 0, 1] + m[..., 1, 0]) * s_x,
+        (m[..., 0, 2] + m[..., 2, 0]) * s_x,
+    ], -1)
+    s_y = 0.5 / jnp.sqrt(jnp.maximum(qy2, 1e-12))
+    q_y = jnp.stack([
+        (m[..., 0, 2] - m[..., 2, 0]) * s_y,
+        (m[..., 0, 1] + m[..., 1, 0]) * s_y,
+        0.25 / s_y,
+        (m[..., 1, 2] + m[..., 2, 1]) * s_y,
+    ], -1)
+    s_z = 0.5 / jnp.sqrt(jnp.maximum(qz2, 1e-12))
+    q_z = jnp.stack([
+        (m[..., 1, 0] - m[..., 0, 1]) * s_z,
+        (m[..., 0, 2] + m[..., 2, 0]) * s_z,
+        (m[..., 1, 2] + m[..., 2, 1]) * s_z,
+        0.25 / s_z,
+    ], -1)
+    q = jnp.take_along_axis(
+        jnp.stack([q_w, q_x, q_y, q_z], -2), pick[..., None, None], axis=-2
+    )[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def _quat_to_mat(q: jax.Array) -> jax.Array:
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+def _lerp_xforms(xf_a: jax.Array, xf_b: jax.Array, t: jax.Array) -> jax.Array:
+    """Per-ray pose interpolation for rolling shutter: translation lerp +
+    rotation slerp, matching ``get_xform_given_rolling_shutter``
+    (``common_device.cuh:401-408``). ``xf_*`` (N, 3, 4), ``t`` (N,)."""
+    pos = xf_a[:, :, 3] + (xf_b[:, :, 3] - xf_a[:, :, 3]) * t[:, None]
+    qa = _mat_to_quat(xf_a[:, :, :3])
+    qb = _mat_to_quat(xf_b[:, :, :3])
+    # shortest-path slerp with nlerp fallback for tiny angles
+    dot = jnp.sum(qa * qb, axis=-1, keepdims=True)
+    qb = jnp.where(dot < 0, -qb, qb)
+    dot = jnp.abs(dot)
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_t = jnp.sin(theta)
+    small = sin_t < 1e-4
+    wa = jnp.where(small, 1.0 - t[:, None], jnp.sin((1.0 - t[:, None]) * theta) / jnp.where(small, 1.0, sin_t))
+    wb = jnp.where(small, t[:, None], jnp.sin(t[:, None] * theta) / jnp.where(small, 1.0, sin_t))
+    q = wa * qa + wb * qb
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return jnp.concatenate([_quat_to_mat(q), pos[:, :, None]], axis=-1)
 
 
 class ErrorMapState(NamedTuple):
@@ -118,6 +196,8 @@ class DatasetArrays(NamedTuple):
     xforms: jax.Array  # (I, 3, 4)
     focals: jax.Array  # (I, 2)
     pps: jax.Array  # (I, 2)
+    depths: jax.Array | None = None  # (I, H, W) NGP-scale z-depth, 0 = none
+    xforms_end: jax.Array | None = None  # (I, 3, 4) shutter-end pose
 
 
 @dataclass
@@ -148,6 +228,14 @@ class NerfEngine:
     grid_decay_interval: int = 4
     grid_sample_divisor: int = 8  # reference uses n_cells/4 per kind
     warmup_all_cells_steps: int = 32
+    # Sample compaction (the reference's atomicAdd compaction pass,
+    # testbed_nerf.cu:1660-2012, rebuilt scatter-free): the network runs
+    # only on a fixed budget of `frac·n_rays·K` compacted sample rows.
+    # K targets 2× the mean samples/ray, so ~50% of slots are real; 0.625
+    # leaves headroom. Overflow drops the *last* lattice steps across rays
+    # (k-major order) — the analogue of the reference's step cap. 1.0
+    # disables compaction.
+    compaction_budget_frac: float = 0.625
     seed: int = 1337
     snap_to_pixel_centers: bool = True
     train_with_random_bg: bool = True
@@ -163,6 +251,25 @@ class NerfEngine:
     optimize_extrinsics: bool = False
     optimize_exposure: bool = False
     optimize_focal_length: bool = False
+    # Trainable lens-distortion grid (``trainable_buffer.cuh:1-113``): a
+    # (H, W, 2) uv-grid of camera-space dir offsets added after lens
+    # undistortion (``uv_to_ray``'s ``dir.xy += distortion.at_lerp(uv)``,
+    # common_device.cuh:492). Gradients arrive via autodiff through the
+    # bilinear read — the same 4-corner deposit as
+    # ``deposit_image_gradient`` (testbed_nerf.cu:2088-2099), minus the
+    # reference's deposit-weight normalization, which Adam's second-moment
+    # scaling makes redundant.
+    optimize_distortion: bool = False
+    distortion_resolution: tuple = (32, 32)  # (H, W), testbed.h:713
+    # Depth supervision: λ·L1(GT ray distance, composited depth) per ray
+    # with a depth record (src/testbed_nerf.cu:1848-1856; default off like
+    # the reference's depth_supervision_lambda, testbed.h:745).
+    depth_supervision_lambda: float = 0.0
+    # Trainable latlong background (envmap.cuh + the envmap trainer,
+    # src/testbed.cu:4101-4110). A dataset-provided envmap is used as a
+    # *fixed* background unless train_envmap=True.
+    train_envmap: bool = False
+    envmap_resolution: tuple = (256, 512)  # (H, W) when no dataset envmap
     extrinsic_learning_rate: float = 1e-3
     extrinsic_l2_reg: float = 1e-4
     exposure_l2_reg: float = 0.0
@@ -226,6 +333,8 @@ class NerfEngine:
                 names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
                 if names and names[0] == "camera":
                     return "camera" if self._camera_trainable else "frozen"
+                if names and names[0] == "envmap":
+                    return "envmap" if self.train_envmap else "frozen"
                 return "grid" if "table" in names else "dense"
 
             return jax.tree_util.tree_map_with_path(label, params)
@@ -235,6 +344,7 @@ class NerfEngine:
             or self.optimize_exposure
             or self.optimize_focal_length
             or self.optimize_extra_dims
+            or self.optimize_distortion
         )
         import optax as _optax
 
@@ -265,22 +375,63 @@ class NerfEngine:
             _optax.add_decayed_weights(self.extrinsic_l2_reg),
             _optax.scale_by_learning_rate(cam_schedule),
         )
+        # Envmap trainer (src/testbed.cu:4101-4110): its own optimizer from
+        # the config's "envmap" block when given, else the reference's
+        # envmap defaults (Adam, lr 1e-2, RelativeL2 handled in-loss).
+        env_cfg = self.config.get("envmap", {}).get("optimizer", {})
+        env_inner, _ = _unwrap_ema(env_cfg) if env_cfg else ({}, None)
+        env_inner, _ = _unwrap_schedule(env_inner) if env_inner else ({}, None)
+        envmap_tx = _optax.chain(
+            _optax.scale_by_adam(
+                b1=float(env_inner.get("beta1", 0.9)),
+                b2=float(env_inner.get("beta2", 0.99)),
+                eps=float(env_inner.get("epsilon", 1e-8)),
+            ),
+            _optax.scale_by_learning_rate(
+                lambda step: float(env_inner.get("learning_rate", 1e-2))
+            ),
+        )
         self.tx = _optax.multi_transform(
             {
                 "dense": dense,
                 "grid": sparse,
                 "camera": camera_tx,
+                "envmap": envmap_tx,
                 "frozen": _optax.set_to_zero(),
             },
             label_fn,
         )
 
-        # Device-side dataset buffers.
+        # Envmap background shape (dataset envmap wins; train-from-scratch
+        # uses envmap_resolution).
+        ds_env = getattr(ds, "envmap", None)
+        if ds_env is not None:
+            self._envmap_shape = tuple(ds_env.shape)
+        elif self.train_envmap:
+            self._envmap_shape = (*self.envmap_resolution, 4)
+        else:
+            self._envmap_shape = None
+
+        # Device-side dataset buffers. The shutter-end xforms are kept only
+        # when they differ (rolling shutter / motion blur,
+        # ``get_xform_given_rolling_shutter`` in ``common_device.cuh:401``).
+        self.rolling_shutter = tuple(getattr(ds, "rolling_shutter", (0.0,) * 4))
+        has_rs = ds.xforms.shape[1] > 1 and (
+            any(abs(v) > 0 for v in self.rolling_shutter)
+            or bool(np.any(ds.xforms[:, 1] != ds.xforms[:, 0]))
+        )
         self.data = DatasetArrays(
             images=jnp.asarray(ds.images),  # (I, H, W, 4) uint8 or f16
             xforms=jnp.asarray(ds.xforms[:, 0]),  # (I, 3, 4) start xform
             focals=jnp.asarray(ds.focal_lengths),
             pps=jnp.asarray(ds.principal_points),
+            depths=(
+                jnp.asarray(ds.depths)
+                if getattr(ds, "depths", None) is not None
+                and self.depth_supervision_lambda > 0.0
+                else None
+            ),
+            xforms_end=jnp.asarray(ds.xforms[:, 1]) if has_rs else None,
         )
         self.lens = ds.lens
         self.resolution = ds.resolution  # (W, H)
@@ -304,6 +455,18 @@ class NerfEngine:
         self._emap: ErrorMapState | None = None
         self._emap_interval = 128  # n_steps_between_error_map_updates
         self._emap_next_rebuild = 128
+
+    @property
+    def samples_per_step(self) -> int:
+        """Network-processed sample rows per training step — the quantity
+        the reference calls its batch size (its counters adapt rays so the
+        *compacted* sample count ≈ 2^18, ``testbed_nerf.cu:3583-3609``).
+        With compaction this is the compact budget; without, every slot."""
+        if self.compaction_budget_frac < 1.0:
+            b = -(-int(self.batch_size * self.compaction_budget_frac) // 1024) * 1024
+            if 0 < b < self.batch_size:
+                return b
+        return self.batch_size
 
     @staticmethod
     def _pow2_clamp(x: float, lo: int, hi: int) -> int:
@@ -353,8 +516,21 @@ class NerfEngine:
                     jax.random.fold_in(jax.random.PRNGKey(self.seed), 1),
                     (I, max(self.n_extra_dims, 1)),
                 ),
+                # zero-initialized like the reference's TrainableBuffer
+                # (reset_network, testbed.cu:4101-4127 distortion block)
+                "distortion": jnp.zeros((*self.distortion_resolution, 2)),
             },
         }
+        if self._envmap_shape is not None:
+            # Linear-HDR latlong background (envmap.cuh): seeded from the
+            # dataset's envmap image when present, else near-black like the
+            # reference's trainer init.
+            ds_env = getattr(self.dataset, "envmap", None)
+            if ds_env is not None:
+                img = jnp.asarray(np.asarray(ds_env, np.float32))
+            else:
+                img = jnp.full(self._envmap_shape, 1e-4, jnp.float32)
+            params["envmap"] = {"image": img}
         return TrainState(
             step=jnp.zeros([], jnp.int32),
             params=params,
@@ -450,36 +626,86 @@ class NerfEngine:
         focal = data.focals[img]
         pp = data.pps[img]
         xf = data.xforms[img]  # (n, 3, 4)
+        if data.xforms_end is not None:
+            # Rolling shutter / motion blur: per-ray shutter time from the
+            # dataset vec4 + a random motion-blur draw, then lerp/slerp
+            # between the start and end poses
+            # (get_xform_given_rolling_shutter, common_device.cuh:401-408).
+            rs = jnp.asarray(self.rolling_shutter, jnp.float32)
+            tblur = jax.random.uniform(jax.random.fold_in(key, 9), (n,))
+            pixel_t = rs[0] + rs[1] * uv[:, 0] + rs[2] * uv[:, 1] + rs[3] * tblur
+            xf = _lerp_xforms(xf, data.xforms_end[img], pixel_t)
         dir_cam = self._pixel_dirs_cam(uv, focal, pp)
         d = jnp.einsum("nij,nj->ni", xf[:, :, :3], dir_cam)
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         o = xf[:, :, 3]
 
+        target_depth = None
+        if data.depths is not None:
+            # GT z-depth at the pixel, converted to distance along the
+            # normalized ray by the unnormalized camera-dir length
+            # (testbed_nerf.cu:1848-1851: |ray.d| · read_depth(uv)).
+            z = data.depths[img, px[:, 1], px[:, 0]]
+            target_depth = z * jnp.linalg.norm(dir_cam, axis=-1)
+
         tmin, _ = ray_aabb_range(o, d, self.aabb.min, self.aabb.max)
         n0 = self.stepping.to_steps(tmin) + jax.random.uniform(kjit, (n,))
-        return RayBatch(o, d, rgba, n0, img, uv)
+        return RayBatch(o, d, rgba, n0, img, uv, target_depth)
 
     # -- training
 
-    def _network_on_samples(self, params, origins, dirs, marched, extra=None):
-        """Evaluate the NeRF network at all (ray, sample) slots; returns raw
+    def _network_on_samples(self, params, origins, dirs, marched, extra=None,
+                            plan=None):
+        """Evaluate the NeRF network at the (ray, sample) slots; returns raw
         (N, K, 4). ``params`` is the model subtree; ``extra`` optional
-        per-ray latent codes (N, E)."""
+        per-ray latent codes (N, E).
+
+        With a ``plan`` (``ngp_tpu.ops.compaction``), inputs are laid out
+        k-major (K, N), compacted to the plan's fixed budget of real
+        samples, run through the network, and expanded back — the
+        scatter-free counterpart of the reference's compaction pass
+        (``testbed_nerf.cu:1660-2012``); non-kept slots return raw 0 and
+        must be masked out of the composite by the caller."""
+        from ngp_tpu.ops.compaction import compact_rows, expand_rows
+
         N, K = marched.t.shape
+        diff_inputs = (
+            self.optimize_extrinsics
+            or self.optimize_focal_length
+            or self.optimize_distortion
+        )
         pos = origins[:, None, :] + dirs[:, None, :] * marched.t[..., None]
-        pos_w = self.aabb.relative_pos(pos).reshape(N * K, 3)
-        dir_w = jnp.broadcast_to(
-            warp_direction(dirs)[:, None, :], (N, K, 3)
-        ).reshape(N * K, 3)
-        extra_s = None
+        pos_w = self.aabb.relative_pos(pos)  # (N, K, 3)
+        dirs_w = warp_direction(dirs)  # (N, 3)
+        if plan is None:
+            pos_f = pos_w.reshape(N * K, 3)
+            dir_f = jnp.broadcast_to(dirs_w[:, None, :], (N, K, 3)).reshape(N * K, 3)
+            extra_f = None
+            if extra is not None:
+                E = extra.shape[-1]
+                extra_f = jnp.broadcast_to(extra[:, None, :], (N, K, E)).reshape(-1, E)
+            raw = self.network(
+                params, pos_f, dir_f, extra=extra_f,
+                differentiable_inputs=diff_inputs,
+            )
+            return raw.reshape(N, K, 4)
+
+        # k-major layout so budget overflow truncates the march tail
+        pos_km = jnp.transpose(pos_w, (1, 0, 2)).reshape(K * N, 3)
+        dir_km = jnp.broadcast_to(dirs_w[None, :, :], (K, N, 3)).reshape(K * N, 3)
+        pos_c = compact_rows(pos_km, plan)
+        dir_c = compact_rows(dir_km, plan)
+        extra_c = None
         if extra is not None:
             E = extra.shape[-1]
-            extra_s = jnp.broadcast_to(extra[:, None, :], (N, K, E)).reshape(N * K, E)
-        raw = self.network(
-            params, pos_w, dir_w, extra=extra_s,
-            differentiable_inputs=self.optimize_extrinsics or self.optimize_focal_length,
+            extra_km = jnp.broadcast_to(extra[None, :, :], (K, N, E)).reshape(-1, E)
+            extra_c = compact_rows(extra_km, plan)
+        raw_c = self.network(
+            params, pos_c, dir_c, extra=extra_c,
+            differentiable_inputs=diff_inputs,
         )
-        return raw.reshape(N, K, 4)
+        raw = expand_rows(raw_c, plan).reshape(K, N, 4)
+        return jnp.transpose(raw, (1, 0, 2))
 
     @staticmethod
     def _rodrigues(rotvec):
@@ -514,6 +740,11 @@ class NerfEngine:
         focal = data.focals[img] * jnp.exp(cam["focal"])[None, :]
         pp = data.pps[img]
         dir_cam = self._pixel_dirs_cam(uv, focal, pp)
+        if self.optimize_distortion:
+            # dir.xy += distortion.at_lerp(uv) (common_device.cuh:492)
+            dir_cam = dir_cam.at[:, :2].add(
+                grid_at_lerp(cam["distortion"], uv)
+            )
         xf = data.xforms[img]
         Rdelta = self._rodrigues(cam["rot"][img])
         Rn = Rdelta @ xf[:, :, :3]
@@ -546,6 +777,22 @@ class NerfEngine:
             self.grid_cfg.max_mip,
         )
 
+        # Compaction plan (non-differentiable ints, computed once outside
+        # the grad): k-major so overflow drops the last march steps.
+        plan = None
+        valid_eff = marched.valid
+        if self.compaction_budget_frac < 1.0:
+            from ngp_tpu.ops.compaction import compaction_plan
+
+            nk = n_rays * k
+            budget = min(-(-int(nk * self.compaction_budget_frac) // 1024) * 1024, nk)
+            if 0 < budget < nk:
+                plan = compaction_plan(
+                    jnp.transpose(marched.valid).reshape(-1), budget
+                )
+                keep_nk = jnp.transpose(plan.keep.reshape(k, n_rays))
+                valid_eff = marched.valid & keep_nk
+
         kbg = jax.random.fold_in(key, 7)
         if self.train_with_random_bg:
             bg = jax.random.uniform(kbg, (n_rays, 3))
@@ -558,7 +805,11 @@ class NerfEngine:
 
         def loss_of(p):
             cam = p["camera"]
-            if self.optimize_extrinsics or self.optimize_focal_length:
+            if (
+                self.optimize_extrinsics
+                or self.optimize_focal_length
+                or self.optimize_distortion
+            ):
                 o, d = self._adjusted_rays(cam, batch.img, batch.uv, data)
             else:
                 o, d = batch.origins, batch.dirs
@@ -571,15 +822,32 @@ class NerfEngine:
             if self.optimize_exposure:
                 scale = jnp.exp2(cam["exposure"][batch.img])
                 rgb_t = linear_to_srgb(srgb_to_linear(rgb_t) * scale)
-            target = rgb_t * a + (1.0 - a) * bg
-            raw = self._network_on_samples(p["model"], o, d, marched, extra)
+            bg_used = bg
+            if "envmap" in p:
+                # Envmap background over the pre-envmap color
+                # (testbed_nerf.cu:1787-1791); the envmap lives in linear
+                # HDR, the sRGB conversion inside the loss reproduces the
+                # reference's srgb_to_linear_derivative division
+                # (testbed_nerf.cu:1994-1997). Gradients reach the envmap
+                # through the ray composite only — the target mix is
+                # stop-gradiented like the reference's.
+                from ngp_tpu.ops.envmap import read_envmap
+
+                env = read_envmap(p["envmap"]["image"], d)
+                if self.rgb_act == "Logistic":
+                    mixed = env[:, :3] + srgb_to_linear(bg) * (1.0 - env[:, 3:4])
+                    bg_used = linear_to_srgb(jnp.maximum(mixed, 0.0))
+                else:
+                    bg_used = env[:, :3] + bg * (1.0 - env[:, 3:4])
+            target = rgb_t * a + (1.0 - a) * jax.lax.stop_gradient(bg_used)
+            raw = self._network_on_samples(p["model"], o, d, marched, extra, plan)
             return nerf_training_loss(
                 raw,
                 marched.dt,
                 marched.t,
-                marched.valid,
+                valid_eff,
                 marched.complete,
-                bg,
+                bg_used,
                 target,
                 self.loss_fn,
                 self.rgb_act,
@@ -587,6 +855,8 @@ class NerfEngine:
                 mean_density,
                 depth_sample=marched.t,
                 near_distance=self.near_distance,
+                target_depth=batch.target_depth,
+                depth_lambda=self.depth_supervision_lambda,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
@@ -625,9 +895,13 @@ class NerfEngine:
 
     def _train_step(self, state: TrainState, bitfield, mean_density, key, data, emap, k: int):
         n_rays = self.batch_size // k
-        _, metrics, grads, emap = self.batch_loss_and_grads(
+        out = self.batch_loss_and_grads(
             state.params, bitfield, mean_density, key, data, k, n_rays, emap
         )
+        if emap is None:
+            _, metrics, grads = out
+        else:
+            _, metrics, grads, emap = out
         return self.apply_grads(state, grads), emap, metrics
 
     def train_step(self, state, grid: occ.OccupancyGridState, emap, key):
@@ -654,7 +928,28 @@ class NerfEngine:
         count, aiming for K ≈ 2× the mean so only the tail truncates.
         Down-switches require a 25% margin (hysteresis) — every bucket is a
         separate compiled program and oscillating across a boundary costs
-        minutes of recompilation."""
+        minutes of recompilation.
+
+        Also the degenerate-batch guard: the reference self-aborts when a
+        training batch yields zero rays (``testbed_nerf.cu:3693-3697``,
+        SURVEY §5.3) — continuing would only train the background. Unlike
+        the reference, our occupancy update samples the density MLP over
+        *all* cells, so a transiently empty bitfield resurrects on the
+        next update; the guard therefore fires only on three consecutive
+        zero-sample checks. This is the one place the train loop already
+        syncs device→host, so the check is free."""
+        if float(metrics["measured_samples"]) == 0.0:
+            self._zero_sample_checks = getattr(self, "_zero_sample_checks", 0) + 1
+            if self._zero_sample_checks >= 3:
+                raise RuntimeError(
+                    "Training generated 0 samples for 3 consecutive checks "
+                    "— the scene geometry/occupancy grid is degenerate "
+                    "(reference guard: testbed_nerf.cu:3693-3697). Check "
+                    "aabb_scale, camera poses, and the transforms.json "
+                    "scale/offset."
+                )
+            return
+        self._zero_sample_checks = 0
         mean_total = max(float(metrics["mean_total"]), 1.0)
         target = self._pow2_clamp(2.0 * mean_total, self.min_samples_per_ray, self._k_max)
         if target > self._k:
@@ -815,7 +1110,21 @@ class NerfEngine:
             rgb, sigma, marched.dt, marched.t, marched.valid,
             self.min_transmittance_render,
         )
-        bg = jnp.asarray(self.background_color, jnp.float32)
+        bg = jnp.broadcast_to(
+            jnp.asarray(self.background_color, jnp.float32), (N, 3)
+        )
+        if "envmap" in params:
+            # Miss rays show the envmap (render tracer's envmap path,
+            # testbed_nerf.cu:2317-2318), over the render bg color.
+            from ngp_tpu.ops.envmap import read_envmap
+            from ngp_tpu.ops.tonemap import linear_to_srgb, srgb_to_linear
+
+            env = read_envmap(params["envmap"]["image"], dirs)
+            if self.rgb_act == "Logistic":
+                mixed = env[:, :3] + srgb_to_linear(bg) * (1.0 - env[:, 3:4])
+                bg = linear_to_srgb(jnp.maximum(mixed, 0.0))
+            else:
+                bg = env[:, :3] + bg * (1.0 - env[:, 3:4])
         out_rgb = comp.rgb + comp.transmittance[:, None] * bg
         return out_rgb, comp.depth, comp.opacity
 
@@ -862,12 +1171,175 @@ class NerfEngine:
         focal = jnp.broadcast_to(self.data.focals[image_index], (n, 2))
         pp = jnp.broadcast_to(self.data.pps[image_index], (n, 2))
         dir_cam = self._pixel_dirs_cam(uv, focal, pp)
+        if self.optimize_distortion:
+            # render with the learned distortion grid, like the reference's
+            # render_with_lens_distortion default (testbed_nerf.cu:2776-2779)
+            dir_cam = dir_cam.at[:, :2].add(
+                grid_at_lerp(
+                    self.inference_params(state)["camera"]["distortion"], uv
+                )
+            )
         xf = self.data.xforms[image_index]
         d = dir_cam @ xf[:, :3].T
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         o = jnp.broadcast_to(xf[:, 3], (n, 3))
         rgb, depth, opa = self.render_rays(state, grid, o, d)
         return rgb.reshape(len(ys), len(xs), 3)
+
+    def render_view(
+        self,
+        state,
+        grid,
+        xform,
+        focal,
+        pp=(0.5, 0.5),
+        width: int | None = None,
+        height: int | None = None,
+        spp: int = 1,
+        snap_to_pixel_centers: bool = True,
+        seed: int = 0,
+    ):
+        """Render an arbitrary camera view: ``xform`` (3,4) camera-to-world,
+        ``focal`` (fx, fy) in pixels at the given resolution, ``pp``
+        principal point in [0,1]². ``spp > 1`` jitters sub-pixel ray offsets
+        and averages in linear radiance — the TPU render epilogue's
+        accumulate buffer (``CudaRenderBuffer::accumulate``,
+        ``src/render_buffer.cu``). Returns (rgb (H,W,3) in the training
+        color space, depth (H,W), opacity (H,W))."""
+        from ngp_tpu.ops.tonemap import linear_to_srgb, srgb_to_linear
+
+        W = int(width if width is not None else self.resolution[0])
+        H = int(height if height is not None else self.resolution[1])
+        xform = jnp.asarray(xform, jnp.float32)
+        focal = jnp.asarray(focal, jnp.float32).reshape(2)
+        pp = jnp.asarray(pp, jnp.float32).reshape(2)
+        px, py = np.meshgrid(np.arange(W), np.arange(H))
+        base = np.stack([px, py], axis=-1).reshape(-1, 2).astype(np.float32)
+        n = base.shape[0]
+
+        acc_rgb = None
+        acc_depth = None
+        acc_opa = None
+        rng = np.random.default_rng(seed)
+        for s in range(max(spp, 1)):
+            if snap_to_pixel_centers or spp <= 1:
+                off = np.asarray([0.5, 0.5], np.float32)
+            else:
+                off = rng.random(2).astype(np.float32)
+            uv = jnp.asarray((base + off) / np.asarray([W, H], np.float32))
+            focal_b = jnp.broadcast_to(focal, (n, 2))
+            pp_b = jnp.broadcast_to(pp, (n, 2))
+            # _pixel_dirs_cam assumes dataset resolution; inline the math
+            # with this view's W/H instead.
+            x = (uv[:, 0] - pp_b[:, 0]) * W / focal_b[:, 0]
+            y = (uv[:, 1] - pp_b[:, 1]) * H / focal_b[:, 1]
+            params_l = jnp.asarray(self.lens.params, jnp.float32)
+            if self.lens.mode == LENS_OPENCV:
+                x, y = iterative_undistortion(
+                    opencv_lens_distortion_delta, params_l, x, y
+                )
+            elif self.lens.mode == LENS_OPENCV_FISHEYE:
+                x, y = iterative_undistortion(
+                    opencv_fisheye_lens_distortion_delta, params_l, x, y
+                )
+            dir_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+            d = dir_cam @ xform[:, :3].T
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            o = jnp.broadcast_to(xform[:, 3], (n, 3))
+            rgb, depth, opa = self.render_rays(state, grid, o, d)
+            rgb_lin = srgb_to_linear(rgb) if self.rgb_act == "Logistic" else rgb
+            acc_rgb = rgb_lin if acc_rgb is None else acc_rgb + rgb_lin
+            acc_depth = depth if acc_depth is None else acc_depth + depth
+            acc_opa = opa if acc_opa is None else acc_opa + opa
+        k = float(max(spp, 1))
+        rgb_lin = acc_rgb / k
+        rgb = (
+            linear_to_srgb(rgb_lin) if self.rgb_act == "Logistic" else rgb_lin
+        )
+        return (
+            rgb.reshape(H, W, 3),
+            (acc_depth / k).reshape(H, W),
+            (acc_opa / k).reshape(H, W),
+        )
+
+    def eval_test_transforms(
+        self,
+        state,
+        grid,
+        test_dataset,
+        spp: int = 1,
+        stride: int = 1,
+        max_views: int | None = None,
+        compute_flip: bool = False,
+        save_first_to: str | None = None,
+    ) -> dict:
+        """Held-out evaluation over a test dataset's views, mirroring the
+        reference's ``--test_transforms`` protocol
+        (``/root/reference/scripts/run.py:208-266``): black background,
+        pixel-center rays, sRGB-space clipped PSNR + SSIM per view.
+
+        ``test_dataset`` is a ``NerfDataset`` (e.g. from
+        ``load_nerf(test_transforms.json)``); geometry must share the
+        training dataset's scale/offset convention, which ``load_nerf``
+        guarantees for same-scene transform files."""
+        from ngp_tpu.utils import metrics as M
+
+        old_mt = self.min_transmittance_render
+        self.min_transmittance_render = 1e-4  # reference eval setting
+        self._jit_cache.pop(("render", 1 << 16), None)
+        try:
+            n_views = test_dataset.images.shape[0]
+            if max_views is not None:
+                n_views = min(n_views, max_views)
+            per_view = []
+            W, H = test_dataset.resolution
+            Ws, Hs = len(range(0, W, stride)), len(range(0, H, stride))
+            for i in range(n_views):
+                rgb, _, _ = self.render_view(
+                    state,
+                    grid,
+                    test_dataset.xforms[i, 0],
+                    test_dataset.focal_lengths[i] * (Ws / W),
+                    test_dataset.principal_points[i],
+                    width=Ws,
+                    height=Hs,
+                    spp=spp,
+                )
+                pred = np.clip(np.asarray(rgb), 0.0, 1.0)
+                img = test_dataset.images[i][::stride, ::stride].astype(np.float32)
+                if test_dataset.images.dtype == np.uint8:
+                    img = img / 255.0
+                ref = np.clip(img[..., :3] * img[..., 3:4], 0.0, 1.0)
+                m = M.mse(pred, ref)
+                entry = {
+                    "view": i,
+                    "mse": m,
+                    "psnr": M.psnr_from_mse(m),
+                    "ssim": M.ssim(pred, ref),
+                }
+                if compute_flip:
+                    entry["flip"] = M.flip(ref, pred)
+                per_view.append(entry)
+                if i == 0 and save_first_to:
+                    from ngp_tpu.data.exr import write_exr  # noqa: F401
+                    import PIL.Image
+
+                    arr = (pred * 255).astype(np.uint8)
+                    PIL.Image.fromarray(arr).save(save_first_to)
+            res = {
+                "n_views": len(per_view),
+                "psnr": float(np.mean([e["psnr"] for e in per_view])),
+                "min_psnr": float(np.min([e["psnr"] for e in per_view])),
+                "max_psnr": float(np.max([e["psnr"] for e in per_view])),
+                "ssim": float(np.mean([e["ssim"] for e in per_view])),
+                "per_view": per_view,
+            }
+            if compute_flip:
+                res["flip"] = float(np.mean([e["flip"] for e in per_view]))
+            return res
+        finally:
+            self.min_transmittance_render = old_mt
+            self._jit_cache.pop(("render", 1 << 16), None)
 
     def psnr(self, state, grid, image_index: int, stride: int = 1) -> float:
         """PSNR of a rendered training view vs the stored image, compared in
@@ -946,5 +1418,78 @@ class NerfEngine:
         mean = jnp.asarray(snap["density_grid_mean"])
         grid = occ.OccupancyGridState(
             density, occ.build_bitfield(density, mean), mean, jnp.zeros([], jnp.int32)
+        )
+        return state, grid
+
+    def save_reference_snapshot(self, path: str, state: TrainState, grid,
+                                compress: bool = True) -> None:
+        """Write a reference-format ``.ingp``/``.msgpack`` snapshot
+        (``Testbed::save_snapshot``, ``src/testbed.cu:4873-4937``): the
+        network config with a ``snapshot`` key holding the tcnn-layout
+        parameter buffer and the Morton-ordered fp16 density grid."""
+        from ngp_tpu.data import ingp_snapshot as ingp
+
+        params = self.inference_params(state)
+        doc = dict(self.config)
+        doc["snapshot"] = {
+            "version": ingp.SNAPSHOT_FORMAT_VERSION,
+            "mode": "nerf",
+            "training_step": int(state.step),
+            "loss": 0.0,
+            "density_grid_size": self.grid_size,
+            "density_grid_binary": ingp.density_grid_to_reference(
+                np.asarray(grid.density)
+            ),
+            "n_params": ingp.reference_n_params(self.network),
+            "params_type": "__half",
+            "params_binary": ingp.params_to_reference(
+                jax.tree.map(np.asarray, params["model"]), self.network
+            ),
+            "nerf": {"aabb_scale": self.aabb_scale},
+        }
+        ingp.save_ingp(path, doc, compress=compress)
+
+    def load_reference_snapshot(self, path: str):
+        """Read a reference-format snapshot into a fresh ``(state, grid)``
+        (``Testbed::load_snapshot``, ``src/testbed.cu:4939-5057``). The
+        network config in the snapshot must describe the same architecture
+        this engine was built with."""
+        from ngp_tpu.data import ingp_snapshot as ingp
+
+        doc = ingp.load_ingp(path)
+        if "snapshot" not in doc:
+            raise ValueError(f"'{path}' does not contain a snapshot")
+        snap = doc["snapshot"]
+        gsize = int(snap.get("density_grid_size", occ.NERF_GRIDSIZE))
+        if gsize != self.grid_size:
+            raise ValueError(
+                f"snapshot grid size {gsize} != engine grid size "
+                f"{self.grid_size}"
+            )
+        model = jax.tree.map(
+            jnp.asarray, ingp.params_from_reference(snap, self.network)
+        )
+        state = self.init_state()
+        params = dict(state.params)
+        params["model"] = model
+        state = TrainState(
+            step=jnp.asarray(int(snap.get("training_step", 0)), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+            ema=EmaState(jax.tree.map(jnp.asarray, params)),
+        )
+        density = jnp.asarray(
+            ingp.density_grid_from_reference(
+                snap["density_grid_binary"],
+                self.grid_cfg.n_cascades,
+                self.grid_size,
+            )
+        )
+        mean = jnp.mean(jnp.maximum(density[0], 0.0))
+        grid = occ.OccupancyGridState(
+            density,
+            occ.build_bitfield(density, mean),
+            mean,
+            jnp.zeros([], jnp.int32),
         )
         return state, grid

@@ -149,6 +149,33 @@ def square2disk_shirley(uv):
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
 
 
+def grid_at_lerp(grid: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear lookup of a (H, W, C) uv-grid at uv∈[0,1]², matching
+    ``Buffer2DView::at_lerp`` (common.h:384-399): sample position is
+    ``uv · resolution`` (no half-texel offset), corners clamped. Plain
+    differentiable JAX — autodiff's transpose reproduces the reference's
+    bilinear gradient deposit (``deposit_image_gradient``,
+    common_device.cuh:124-156). Used for the trainable distortion map
+    (``trainable_buffer.cuh``)."""
+    H, W = grid.shape[:2]
+    fx = uv[..., 0] * W
+    fy = uv[..., 1] * H
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+
+    def at(xi, yi):
+        return grid[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+
+    return (
+        (1 - wx) * (1 - wy) * at(x0, y0)
+        + wx * (1 - wy) * at(x0 + 1, y0)
+        + (1 - wx) * wy * at(x0, y0 + 1)
+        + wx * wy * at(x0 + 1, y0 + 1)
+    )
+
+
 def uv_to_ray(
     uv: jnp.ndarray,  # (..., 2)
     resolution,  # (W, H) static

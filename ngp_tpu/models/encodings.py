@@ -65,14 +65,13 @@ def _ggb_fwd(table, idx, w):
 
 
 def _ggb_bwd(res, g):
-    from ngp_tpu.ops.scatter_free import dense_segment_sum
+    from ngp_tpu.ops.scatter_free import batched_segment_sum
 
     (L, T, F), idx, w = res
-    keys = (jnp.arange(L, dtype=jnp.int32)[:, None, None] * T + idx).reshape(-1)
-    # per (l, n, c): value vector w·g[l,n,:]  -> (M, F)
-    vals = (w[..., None] * g[:, :, None, :]).reshape(-1, F)
-    d_table = dense_segment_sum(keys, vals, L * T)
-    return d_table.reshape(L, T, F), None, None
+    keys = idx.reshape(L, -1)  # (L, N·C), already per-level row indices
+    # per (l, n, c): value vector w·g[l,n,:]  -> (L, N·C, F)
+    vals = (w[..., None] * g[:, :, None, :]).reshape(L, -1, F)
+    return batched_segment_sum(keys, vals, T), None, None
 
 
 grid_gather_blend.defvjp(_ggb_fwd, _ggb_bwd)
@@ -107,16 +106,15 @@ def _pge_fwd(enc, table, x):
 
 
 def _pge_bwd(enc, x, g):
-    from ngp_tpu.ops.scatter_free import dense_segment_sum
+    from ngp_tpu.ops.scatter_free import batched_segment_sum
 
     L, F = enc.n_levels, enc.n_features_per_level
     T = enc.max_table_rows
     idx, w = enc.indices_and_weights(x)  # (L, N, C)
     gl = jnp.transpose(g.reshape(x.shape[0], L, F), (1, 0, 2))  # (L, N, F)
-    keys = (jnp.arange(L, dtype=jnp.int32)[:, None, None] * T + idx).reshape(-1)
-    vals = (w[..., None] * gl[:, :, None, :]).reshape(-1, F)
-    d_table = dense_segment_sum(keys, vals, L * T).reshape(L, T, F)
-    return d_table, None
+    keys = idx.reshape(L, -1)
+    vals = (w[..., None] * gl[:, :, None, :]).reshape(L, -1, F)
+    return batched_segment_sum(keys, vals, T), None
 
 
 pallas_grid_encode.defvjp(_pge_fwd, _pge_bwd)

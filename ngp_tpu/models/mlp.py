@@ -4,8 +4,9 @@ The reference's networks are 64-wide, 1-3 hidden layer, bias-free fp16
 matmul stacks (SURVEY.md §2.10). On TPU the same computation is a chain of
 (N, 64)x(64, 64) matmuls — we keep fp32 master params, cast to bf16 for the
 MXU, and accumulate in fp32 via ``preferred_element_type``. XLA fuses the
-ReLUs into the matmuls; a Pallas megakernel (ops/fused_mlp.py) covers the
-fully-fused encode→MLP path for the hot loops.
+ReLUs into the matmuls, so a hand-fused megakernel buys little here; the
+hot-path work instead goes into the hash-grid gather/scatter formulations
+(``models/encodings.py``, ``ops/scatter_free.py``).
 """
 
 from __future__ import annotations

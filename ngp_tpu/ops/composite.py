@@ -121,6 +121,8 @@ def nerf_training_loss(
     mean_density: jax.Array,
     depth_sample: jax.Array | None = None,  # (N, K) distance for near-cam reg
     near_distance: float = 0.0,
+    target_depth: jax.Array | None = None,  # (N,) GT ray distance, ≤0 = none
+    depth_lambda: float = 0.0,
 ) -> tuple[jax.Array, dict]:
     """Scalar training loss whose gradient matches the reference kernel:
 
@@ -158,6 +160,18 @@ def nerf_training_loss(
     l1_active = mean_density < 0.01
     density_l1 = 1e-4 * jnp.sum(jnp.where(used, jax.nn.relu(-raw_sigma), 0.0))
     loss = loss + jnp.where(l1_active, density_l1, 0.0) / n_rays
+
+    if depth_lambda > 0.0 and target_depth is not None:
+        # Depth supervision (testbed_nerf.cu:1848-1856, 1953): L1 between
+        # the composited ray depth and the GT distance, λ-scaled, only for
+        # rays that have a depth record (target > 0). Autodiff through
+        # comp.depth = Σ wᵢ·tᵢ reproduces the reference's analytic
+        # density-channel term t·depth − depth_suffix exactly.
+        has_d = target_depth > 0.0
+        depth_err = jnp.abs(target_depth - comp.depth)
+        loss = loss + depth_lambda * jnp.sum(
+            jnp.where(has_d, depth_err, 0.0)
+        ) / n_rays
 
     if near_distance > 0.0 and depth_sample is not None:
         near = used & (depth_sample < near_distance) & (raw_sigma > -10.0)

@@ -56,6 +56,60 @@ def dense_segment_sum(keys: jax.Array, vals: jax.Array, n_segments: int) -> jax.
     return dense[:, 0] if squeeze else dense
 
 
+def batched_segment_sum(
+    keys: jax.Array, vals: jax.Array, n_segments: int
+) -> jax.Array:
+    """Batched scatter-free segment sum: ``keys`` (L, M) int32 ∈
+    [0, n_segments), ``vals`` (L, M, F) → (L, n_segments, F).
+
+    Same slot-sentinel construction as :func:`dense_segment_sum`, but the
+    L batches sort independently along the last axis — much cheaper than
+    one global sort over L·M keys (bitonic depth log²(M+T) instead of
+    log²(L·(M+T)), and better VMEM blocking). Measured on v5e: the global
+    2-sort pipeline at L=16, M=2^21 costs ~500 ms; this form ~130 ms.
+
+    Two further savings vs the global path:
+
+    - sort 1 uses a *combined* key ``2·key + is_slot`` (single int32, no
+      second key column) with an unstable sort — TPU's bitonic sort is
+      deterministic, and within one (key, flag) run the payload order only
+      permutes the fp addition order of the cumsum;
+    - sort 2 (slot extraction) carries only int32 positions, not the F
+      float payload columns; the payload cumsums are then *gathered* at
+      the slot positions (T rows per level, ~free) instead of sorted.
+    """
+    L, M = keys.shape
+    F = vals.shape[-1]
+    T = n_segments
+
+    slot_keys = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (L, T))
+    comb = jnp.concatenate(
+        [keys.astype(jnp.int32) * 2, slot_keys * 2 + 1], axis=1
+    )  # (L, M+T)
+    zpad = jnp.zeros((L, T), vals.dtype)
+    cols = [jnp.concatenate([vals[:, :, f], zpad], axis=1) for f in range(F)]
+
+    s = jax.lax.sort((comb, *cols), num_keys=1, is_stable=False)
+    comb_sorted = s[0]
+    cs = [jnp.cumsum(c, axis=1) for c in s[1:]]
+
+    # Positions of the slot rows, in key order: stable int-only flag sort
+    # (slots carry odd combined keys; flag 0 sorts them to the front).
+    is_data = jnp.logical_not(comb_sorted & 1).astype(jnp.int32)
+    pos = jnp.broadcast_to(
+        jnp.arange(M + T, dtype=jnp.int32)[None, :], (L, M + T)
+    )
+    _, pos_sorted = jax.lax.sort((is_data, pos), num_keys=1, is_stable=True)
+    slot_pos = pos_sorted[:, :T]  # (L, T)
+
+    slot_cs = jnp.stack(
+        [jnp.take_along_axis(c, slot_pos, axis=1) for c in cs], axis=-1
+    )  # (L, T, F)
+    return jnp.diff(
+        slot_cs, axis=1, prepend=jnp.zeros((L, 1, F), slot_cs.dtype)
+    )
+
+
 def dense_segment_max(
     keys: jax.Array, vals: jax.Array, n_segments: int, initial: float = 0.0
 ) -> jax.Array:

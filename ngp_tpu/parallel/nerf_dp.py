@@ -32,10 +32,17 @@ from ngp_tpu.ops.composite import density_activation
 from ngp_tpu.parallel.mesh import DATA_AXIS
 
 
-def build_dp_train_step(engine: NerfEngine, mesh: Mesh, axis: str = DATA_AXIS):
+def build_dp_train_step(
+    engine: NerfEngine, mesh: Mesh, axis: str = DATA_AXIS,
+    return_grads: bool = False,
+):
     """Returns ``step(state, grid, key) -> (state, metrics)`` jitted over
     the mesh. The global batch (``engine.batch_size`` sample slots) is
-    split evenly: each device runs ``n_rays/n_dev`` rays."""
+    split evenly: each device runs ``n_rays/n_dev`` rays.
+
+    ``return_grads`` adds the pmean-ed gradient tree to the metrics — for
+    the DP-vs-single-chip equivalence test only (it defeats gradient-buffer
+    donation, so never enable it in production loops)."""
     n_dev = mesh.shape[axis]
 
     def make(k: int):
@@ -52,6 +59,8 @@ def build_dp_train_step(engine: NerfEngine, mesh: Mesh, axis: str = DATA_AXIS):
                 "measured_samples": jax.lax.psum(metrics["measured_samples"], axis),
                 "mean_total": jax.lax.pmean(metrics["mean_total"], axis),
             }
+            if return_grads:
+                metrics["grads"] = grads
             new_state = engine.apply_grads(state, grads)
             return new_state, metrics
 
@@ -110,7 +119,7 @@ def build_dp_grid_update(engine: NerfEngine, mesh: Mesh, axis: str = DATA_AXIS):
                     max(n_quarter // n_dev, 1), max(n_quarter // n_dev, 1),
                 )
             pos_w = engine.aabb.relative_pos(pos)
-            raw = engine.chunked_density(params, pos_w)
+            raw = engine.chunked_density(params["model"], pos_w)
             sigma = density_activation(engine.density_act)(raw)
             tmp_local = occ.splat_max(cfg, flat_idx, sigma * occ.MIN_CONE_STEPSIZE)
             tmp = jax.lax.pmax(tmp_local, axis)

@@ -22,6 +22,23 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def apply_tonemap(img, curve: str = "identity", exposure_ev: float = 0.0):
+    """Render epilogue: sRGB frame → linear → exposure → tonemap → sRGB
+    (``render_frame_epilogue``'s tonemap stage, ``src/render_buffer.cu``)."""
+    import numpy as np
+
+    if curve == "identity" and exposure_ev == 0.0:
+        return img
+    from ngp_tpu.ops.tonemap import TONEMAPS, linear_to_srgb, srgb_to_linear
+
+    lin = np.asarray(srgb_to_linear(np.clip(img, 0.0, 1.0)))
+    lin = lin * (2.0 ** exposure_ev)
+    if curve != "identity":
+        mapped = np.asarray(TONEMAPS[curve](lin))
+        return np.clip(mapped, 0.0, 1.0)
+    return np.clip(np.asarray(linear_to_srgb(lin)), 0.0, 1.0)
+
+
 def write_image(path: str, img) -> None:
     import numpy as np
 
@@ -57,6 +74,29 @@ def main(argv=None):
     p.add_argument("--test_view", type=int, default=0,
                    help="training view index for NeRF PSNR eval / screenshot")
     p.add_argument("--eval_stride", type=int, default=2)
+    p.add_argument("--test_transforms", default=None,
+                   help="held-out transforms.json: render every view and "
+                        "report PSNR/SSIM (reference run.py:208-266)")
+    p.add_argument("--test_spp", type=int, default=1)
+    p.add_argument("--test_max_views", type=int, default=None)
+    p.add_argument("--flip", action="store_true",
+                   help="also compute the FLIP perceptual metric per view")
+    p.add_argument("--video_camera_path", default=None,
+                   help="camera-path json to render as a flythrough video")
+    p.add_argument("--video_n_seconds", type=float, default=4.0)
+    p.add_argument("--video_fps", type=int, default=30)
+    p.add_argument("--video_output", default="video.mp4",
+                   help="output mp4 (needs ffmpeg) or a directory for pngs")
+    p.add_argument("--video_w", type=int, default=640)
+    p.add_argument("--video_h", type=int, default=360)
+    p.add_argument("--video_spp", type=int, default=1)
+    p.add_argument("--tonemap", default="identity",
+                   choices=["identity", "aces", "hable", "reinhard"],
+                   help="tonemap curve for screenshots/video frames")
+    p.add_argument("--exposure", type=float, default=0.0,
+                   help="EV offset applied before tonemapping")
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace of a few train steps here")
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--compile_cache", default=os.path.expanduser("~/.cache/jax_comp_cache"))
     args = p.parse_args(argv)
@@ -82,7 +122,16 @@ def main(argv=None):
 
     if args.n_steps > 0 and tb.engine is not None:
         t0 = time.time()
-        tb.train(args.n_steps)
+        if args.profile:
+            import jax
+
+            tb.train(min(args.n_steps, 16))  # compile outside the trace
+            with jax.profiler.trace(args.profile):
+                tb.train(min(args.n_steps, 8))
+            print(f"profiler trace written to {args.profile}")
+            tb.train(max(args.n_steps - min(args.n_steps, 16) - 8, 0))
+        else:
+            tb.train(args.n_steps)
         dt = time.time() - t0
         print(f"trained {args.n_steps} steps in {dt:.1f}s "
               f"({args.n_steps / dt:.2f} steps/s), loss={tb.loss:.6f}")
@@ -98,6 +147,62 @@ def main(argv=None):
         mse = tb.compute_image_mse()
         print(f"MSE: {mse:.6f}  PSNR: {-10 * __import__('math').log10(max(mse, 1e-12)):.2f} dB")
 
+    if args.test_transforms:
+        from ngp_tpu.data.nerf_loader import load_nerf
+
+        test_ds = load_nerf(args.test_transforms)
+        res = tb.engine.eval_test_transforms(
+            tb.state, tb.grid, test_ds,
+            spp=args.test_spp, stride=args.eval_stride,
+            max_views=args.test_max_views, compute_flip=args.flip,
+        )
+        flip_str = f" FLIP={res['flip']:.4f}" if args.flip else ""
+        print(f"test_transforms: PSNR={res['psnr']:.2f} "
+              f"[min={res['min_psnr']:.2f} max={res['max_psnr']:.2f}] "
+              f"SSIM={res['ssim']:.4f}{flip_str} over {res['n_views']} views")
+
+    if args.video_camera_path:
+        import numpy as np
+
+        from ngp_tpu.utils.camera_path import CameraPath
+
+        path = CameraPath.load(args.video_camera_path)
+        n_frames = max(int(args.video_n_seconds * args.video_fps), 1)
+        out = args.video_output
+        is_dir = not out.lower().endswith((".mp4", ".avi", ".mkv"))
+        frames_dir = out if is_dir else out + "_frames"
+        os.makedirs(frames_dir, exist_ok=True)
+        t0 = time.time()
+        for i in range(n_frames):
+            t = i / max(n_frames - (0 if path.loop else 1), 1)
+            kf = path.eval_camera_path(t)
+            m = kf.matrix()
+            H = args.video_h
+            f = 0.5 * H / np.tan(0.5 * np.radians(kf.fov))
+            rgb, _, _ = tb.engine.render_view(
+                tb.state, tb.grid, m, (f, f),
+                width=args.video_w, height=H, spp=args.video_spp,
+                snap_to_pixel_centers=args.video_spp <= 1, seed=i,
+            )
+            img = apply_tonemap(np.asarray(rgb), args.tonemap, args.exposure)
+            write_image(os.path.join(frames_dir, f"frame_{i:04d}.png"), img)
+        print(f"rendered {n_frames} frames in {time.time()-t0:.1f}s")
+        if not is_dir:
+            import shutil
+            import subprocess
+
+            if shutil.which("ffmpeg"):
+                subprocess.run(
+                    ["ffmpeg", "-y", "-loglevel", "error",
+                     "-framerate", str(args.video_fps),
+                     "-i", os.path.join(frames_dir, "frame_%04d.png"),
+                     "-pix_fmt", "yuv420p", out],
+                    check=True,
+                )
+                print(f"wrote {out}")
+            else:
+                print(f"ffmpeg not found; frames left in {frames_dir}")
+
     if args.save_snapshot:
         os.makedirs(os.path.dirname(args.save_snapshot) or ".", exist_ok=True)
         tb.save_snapshot(args.save_snapshot)
@@ -110,6 +215,7 @@ def main(argv=None):
                             training_view=args.test_view)
         else:
             img = tb.render(args.screenshot_w, args.screenshot_h)
+        img = apply_tonemap(img, args.tonemap, args.exposure)
         write_image(args.screenshot, img)
         print(f"wrote {args.screenshot}")
 

@@ -141,3 +141,32 @@ def test_camera_path_spline_and_json(tmp_path):
         p2.eval_camera_path(0.3).matrix(), path.eval_camera_path(0.3).matrix(),
         atol=1e-6,
     )
+
+
+def test_grid_at_lerp_matches_reference_semantics():
+    """Buffer2DView::at_lerp (common.h:384-399): sample at uv*resolution
+    with clamped corners, no half-texel offset."""
+    import jax.numpy as jnp
+
+    from ngp_tpu.geometry.camera import grid_at_lerp
+
+    g = np.arange(3 * 4 * 2, dtype=np.float32).reshape(3, 4, 2)
+    # exact texel corner: uv*res integer → pure single-texel read
+    out = np.asarray(grid_at_lerp(jnp.asarray(g), jnp.asarray([[0.25, 1 / 3]])))
+    np.testing.assert_allclose(out[0], g[1, 1])
+    # midpoint between texels (1,1),(1,2),(2,1),(2,2)
+    out = np.asarray(
+        grid_at_lerp(jnp.asarray(g), jnp.asarray([[0.375, 0.5]]))
+    )
+    np.testing.assert_allclose(out[0], 0.25 * (g[1, 1] + g[1, 2] + g[2, 1] + g[2, 2]))
+    # clamped far corner
+    out = np.asarray(grid_at_lerp(jnp.asarray(g), jnp.asarray([[1.0, 1.0]])))
+    np.testing.assert_allclose(out[0], g[2, 3])
+    # gradient flows (bilinear deposit via autodiff transpose)
+    import jax
+
+    def f(grid):
+        return grid_at_lerp(grid, jnp.asarray([[0.3, 0.4]])).sum()
+
+    dg = jax.grad(f)(jnp.asarray(g))
+    np.testing.assert_allclose(float(jnp.sum(dg)), 2.0, rtol=1e-5)

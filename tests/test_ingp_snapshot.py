@@ -1,0 +1,117 @@
+"""Reference .ingp/.msgpack snapshot interop: tcnn parameter-buffer layout
+(nerf_network.h:430-443), Morton density grid (testbed_nerf.cu:433-447),
+zlib+msgpack container (testbed.cu:4873-4937)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.data import ingp_snapshot as ingp
+from ngp_tpu.models.factory import create_nerf_network
+
+CFG = {
+    "encoding": {"otype": "HashGrid", "n_levels": 8,
+                 "n_features_per_level": 2, "log2_hashmap_size": 15,
+                 "base_resolution": 16, "per_level_scale": 1.5},
+    "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                "output_activation": "None", "n_neurons": 64,
+                "n_hidden_layers": 1},
+    "dir_encoding": {"otype": "Composite", "nested": [
+        {"n_dims_to_encode": 3, "otype": "SphericalHarmonics", "degree": 4},
+        {"otype": "Identity"},
+    ]},
+    "rgb_network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+}
+
+
+def test_morton_grid_round_trip():
+    d = np.random.default_rng(0).random((2, 16, 16, 16)).astype(np.float32)
+    blob = ingp.density_grid_to_reference(d)
+    back = ingp.density_grid_from_reference(blob, 2, 16)
+    np.testing.assert_allclose(
+        d.astype(np.float16).astype(np.float32), back
+    )
+
+
+def test_morton_codes_match_bit_interleave():
+    codes = ingp._morton_codes(4).reshape(4, 4, 4)
+
+    def morton(x, y, z):
+        out = 0
+        for b in range(2):
+            out |= ((x >> b) & 1) << (3 * b)
+            out |= ((y >> b) & 1) << (3 * b + 1)
+            out |= ((z >> b) & 1) << (3 * b + 2)
+        return out
+
+    for x in range(4):
+        for y in range(4):
+            for z in range(4):
+                assert codes[x, y, z] == morton(x, y, z)
+
+
+def test_params_round_trip_and_output_parity():
+    net = create_nerf_network(CFG)
+    params = net.init(jax.random.PRNGKey(0))
+    blob = ingp.params_to_reference(
+        jax.tree.map(np.asarray, params), net, dtype=np.float32
+    )
+    assert len(blob) == 4 * ingp.reference_n_params(net)
+    back = ingp.params_from_reference(
+        {"params_binary": blob, "params_type": "float"}, net
+    )
+    for k in ("density_mlp", "rgb_mlp"):
+        for a, b in zip(params[k]["weights"], back[k]["weights"]):
+            np.testing.assert_allclose(np.asarray(a), b, atol=1e-7)
+    _, _, sizes, _ = net.pos_encoding._level_geometry()
+    t0 = np.asarray(params["pos_encoding"]["table"])
+    t1 = back["pos_encoding"]["table"]
+    for l, s in enumerate(sizes):
+        np.testing.assert_allclose(t0[l, : int(s)], t1[l, : int(s)])
+
+    x = np.random.default_rng(1).random((64, 3)).astype(np.float32)
+    dirs = np.random.default_rng(2).random((64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    y0 = net(params, jnp.asarray(x), jnp.asarray((dirs + 1) / 2))
+    y1 = net(
+        jax.tree.map(jnp.asarray, back), jnp.asarray(x),
+        jnp.asarray((dirs + 1) / 2),
+    )
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
+def test_container_round_trip(tmp_path):
+    doc = {"a": 1, "snapshot": {"params_binary": b"\x00\x01\x02",
+                                "nested": {"x": [1.5, 2.5]}}}
+    for name in ("s.ingp", "s.msgpack"):
+        p = str(tmp_path / name)
+        ingp.save_ingp(p, doc)
+        back = ingp.load_ingp(p)
+        assert back == doc
+
+
+def test_engine_reference_snapshot_round_trip(tmp_path):
+    """A trained-ish engine state written as .ingp and re-read renders the
+    same image (BASELINE.md allclose goal, self-consistency half)."""
+    from tests.test_nerf_engine import CONFIG, _make_dataset
+    from ngp_tpu.engines.nerf import NerfEngine
+
+    eng = NerfEngine(
+        dict(CONFIG), _make_dataset(4), batch_size=1 << 12, grid_size=16,
+        n_steps_per_unit=128, density_grid_decay=0.8, seed=5,
+    )
+    state = eng.init_state()
+    grid = eng.init_grid()
+    state, grid, _ = eng.train(state, grid, 24)
+
+    p = str(tmp_path / "ref.ingp")
+    eng.save_reference_snapshot(p, state, grid)
+    state2, grid2 = eng.load_reference_snapshot(p)
+    assert int(state2.step) == int(state.step)
+
+    img0 = np.asarray(eng.render_image(state, grid, 0, stride=8))
+    img1 = np.asarray(eng.render_image(state2, grid2, 0, stride=8))
+    # fp16 params + fp16 grid: small quantization error only
+    assert np.abs(img0 - img1).max() < 0.02

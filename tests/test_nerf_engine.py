@@ -215,3 +215,70 @@ def test_extra_learnable_dims():
     # rendering works with zero latents
     img = np.asarray(eng.render_image(state, grid, 0, stride=4))
     assert np.isfinite(img).all()
+
+
+def test_zero_sample_guard(engine):
+    """The degenerate-batch guard (testbed_nerf.cu:3693-3697) fires after
+    three consecutive zero-sample checks, not on a transient one."""
+    import pytest
+
+    zero = {"measured_samples": 0.0, "mean_total": 0.0}
+    engine.adapt_batch_geometry(zero)
+    engine.adapt_batch_geometry(zero)
+    engine.adapt_batch_geometry({"measured_samples": 5.0, "mean_total": 4.0})
+    engine.adapt_batch_geometry(zero)
+    engine.adapt_batch_geometry(zero)
+    with pytest.raises(RuntimeError, match="0 samples"):
+        engine.adapt_batch_geometry(zero)
+
+
+def test_distortion_map_recovers_lens_offset():
+    """GT images rendered through a constant extra camera-space dir offset
+    (an unmodeled lens component); with optimize_distortion the trainable
+    uv-grid (trainable_buffer.cuh counterpart) must move toward that offset
+    and beat the frozen-camera loss."""
+    TRUE_OFF = np.asarray([0.03, -0.02], np.float32)
+
+    def render_gt_distorted(xform):
+        u = (np.arange(RES) + 0.5) / RES
+        uu, vv = np.meshgrid(u, u)
+        x = (uu - 0.5) * RES / FOCAL + TRUE_OFF[0]
+        y = (vv - 0.5) * RES / FOCAL + TRUE_OFF[1]
+        dir_cam = np.stack([x, y, np.ones_like(x)], -1)
+        d = dir_cam @ xform[:, :3].T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        oc = xform[:, 3] - SPHERE_C
+        b = np.einsum("hwc,c->hw", d, oc)
+        hit = b * b - (np.dot(oc, oc) - SPHERE_R**2) > 0
+        img = np.zeros((RES, RES, 4), np.float32)
+        img[hit, :3] = SPHERE_RGB
+        img[hit, 3] = 1.0
+        return (img * 255).astype(np.uint8)
+
+    ds = _make_dataset()
+    imgs = []
+    for i in range(ds.n_images):
+        imgs.append(render_gt_distorted(ds.xforms[i, 0]))
+    ds.images = np.stack(imgs)
+
+    results = {}
+    for opt in (False, True):
+        eng = NerfEngine(
+            dict(CONFIG), ds, batch_size=1 << 13, grid_size=16,
+            n_steps_per_unit=128, density_grid_decay=0.8, seed=23,
+            optimize_distortion=opt, distortion_resolution=(8, 8),
+        )
+        state = eng.init_state()
+        grid = eng.init_grid()
+        state, grid, m = eng.train(state, grid, 300)
+        results[opt] = (float(m["loss"]), state)
+
+    loss_frozen, state_frozen = results[False]
+    loss_opt, state_opt = results[True]
+    dist = np.asarray(state_opt.params["camera"]["distortion"])
+    assert np.abs(np.asarray(state_frozen.params["camera"]["distortion"])).max() == 0
+    # the learned grid moved, in the direction of the true offset
+    mean_off = dist.reshape(-1, 2).mean(0)
+    assert abs(mean_off).max() > 1e-4
+    assert mean_off[0] > 0 and mean_off[1] < 0, mean_off
+    assert loss_opt < loss_frozen * 1.2, (loss_opt, loss_frozen)

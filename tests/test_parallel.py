@@ -57,6 +57,62 @@ def test_dp_step_matches_replicated_semantics(engine):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_dp_step_equivalent_to_single_chip_math(engine):
+    """The DP step's math must equal the single-chip step on the same
+    global batch: each shard i draws rays with fold_in(key, i), grads are
+    pmean-ed, and the replicated optimizer applies them. Recompute that by
+    hand with the engine's own (non-shard_map) loss_and_grads and assert
+    the resulting params match. Guards against param-tree plumbing bugs
+    that finiteness checks cannot see (round-1 regression)."""
+    mesh = make_mesh(8)
+    state = engine.init_state()
+    grid = engine.init_grid()
+    key = jax.random.PRNGKey(42)
+
+    step = build_dp_train_step(engine, mesh, return_grads=True)
+    dp_state, dp_metrics = step(state, grid, key)
+    assert int(dp_state.step) == 1
+
+    k = engine._k
+    n_rays_local = max(engine.batch_size // k // 8, 1)
+    state2 = engine.init_state()
+    grads_sum = None
+    for i in range(8):
+        ki = jax.random.fold_in(key, i)
+        _, _, g = engine.batch_loss_and_grads(
+            state2.params, grid.bitfield, grid.mean_density, ki,
+            engine.data, k, n_rays_local,
+        )
+        grads_sum = g if grads_sum is None else jax.tree.map(jnp.add, grads_sum, g)
+    grads_mean = jax.tree.map(lambda x: x / 8.0, grads_sum)
+
+    flat_dp, tree_dp = jax.tree.flatten(dp_metrics["grads"])
+    flat_ref, tree_ref = jax.tree.flatten(grads_mean)
+    assert tree_dp == tree_ref
+    for a, b in zip(flat_dp, flat_ref):
+        # identical math up to summation order => tight atol, loose rtol on
+        # denormal-scale entries
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_dp_grid_update_equivalent_densities(engine):
+    """Warmup (all-cells) DP grid update must agree with the single-chip
+    update on which cells are occupied: both query the same density MLP at
+    jittered cell positions, so the bitfields should broadly match (jitter
+    differs — compare mean density, a jitter-robust statistic)."""
+    mesh = make_mesh(8)
+    state = engine.init_state()
+    update = build_dp_grid_update(engine, mesh)
+    g_dp = update(state, engine.init_grid(), jax.random.PRNGKey(5), warmup=True)
+    g_sc = engine.update_grid(state, engine.init_grid(), jax.random.PRNGKey(5), warmup=True)
+    assert np.isfinite(float(g_dp.mean_density))
+    np.testing.assert_allclose(
+        float(g_dp.mean_density), float(g_sc.mean_density), rtol=0.05, atol=1e-4
+    )
+
+
 def test_dp_grid_update(engine):
     mesh = make_mesh(8)
     state = engine.init_state()
