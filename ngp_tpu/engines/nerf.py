@@ -538,10 +538,15 @@ class NerfEngine:
             ema=ema_init(params),
         )
 
-    def init_grid(self) -> occ.OccupancyGridState:
+    def init_grid(self, precomputed_density=None) -> occ.OccupancyGridState:
         """Zeroed grid, then camera-frustum culling: visible cells start
         occupied (density 1), unseen cells are -1 forever
-        (``mark_untrained_density_grid`` at step 0)."""
+        (``mark_untrained_density_grid`` at step 0).
+
+        ``precomputed_density`` is an optional (C, G, G, G) prior from
+        ``occ.seed_grid_from_mesh`` / ``seed_grid_from_point_cloud`` (the
+        fork's geometry-seeded grids, ``src/testbed_nerf.cu:3440-3457``):
+        its -1 cells stay culled forever, its 0 cells train normally."""
         state = occ.init_grid_state(self.grid_cfg)
         density = occ.mark_untrained_cells(
             self.grid_cfg,
@@ -551,6 +556,15 @@ class NerfEngine:
             self.data.pps,
             self.resolution,
         )
+        if precomputed_density is not None:
+            pre = jnp.asarray(precomputed_density, jnp.float32)
+            if pre.shape != density.shape:
+                raise ValueError(
+                    f"precomputed density shape {pre.shape} != "
+                    f"{density.shape}"
+                )
+            # intersect the priors: culled by either geometry or frustum
+            density = jnp.where(pre < 0.0, -1.0, density)
         mean = jnp.mean(jnp.maximum(density[0], 0.0))
         bitfield = occ.build_bitfield(density, mean)
         return occ.OccupancyGridState(density, bitfield, mean, state.ema_step)

@@ -47,6 +47,12 @@ class SdfEngine:
     surface_offset_scale: float = 1.0  # testbed.h:843
     maximum_distance: float = 1e-4
     data_refresh_interval: int = 16
+    # Shading parity (shade_kernel_sdf + shadow tracer, testbed_sdf.cu):
+    # sun/up dirs and shadow sharpness default like testbed.h:602,798.
+    sun_dir: tuple = (0.57735, 0.57735, 0.57735)
+    up_dir: tuple = (0.0, 1.0, 0.0)
+    shadow_sharpness: float = 2048.0
+    brdf: "BRDFParams | None" = None
     seed: int = 1337
 
     def __post_init__(self):
@@ -61,6 +67,10 @@ class SdfEngine:
         self.aabb_min = jnp.asarray(self.mesh.aabb_min)
         self.aabb_max = jnp.asarray(self.mesh.aabb_max)
         self.bounding_radius = math.sqrt(3.0) / 2.0
+        if self.brdf is None:
+            from ngp_tpu.ops.shading import BRDFParams
+
+            self.brdf = BRDFParams()
         self._jit: dict[Any, Any] = {}
 
     @classmethod
@@ -161,8 +171,10 @@ class SdfEngine:
                 return signed_distance_watertight(self.bvh, p)
             return self.model(params, p)[:, 0]
 
+        steps = jnp.zeros(alive.shape, jnp.int32)
+
         def body(c):
-            pos, alive, hit, it = c
+            pos, alive, hit, steps, it = c
             d = (sdf_fn(pos) - self.zero_offset) * self.distance_scale
             newpos = pos + d[:, None] * dirs
             converged = alive & (jnp.abs(d) < self.maximum_distance)
@@ -171,16 +183,76 @@ class SdfEngine:
             )
             hit = hit | converged
             pos = jnp.where(alive[:, None], newpos, pos)
+            steps = steps + alive.astype(jnp.int32)
             alive = alive & ~converged & inside_box
-            return pos, alive, hit, it + 1
+            return pos, alive, hit, steps, it + 1
 
         def cond(c):
-            return jnp.any(c[1]) & (c[3] < MARCH_ITER)
+            return jnp.any(c[1]) & (c[4] < MARCH_ITER)
 
-        pos, alive, hit, _ = jax.lax.while_loop(
-            cond, body, (pos, alive, hit, jnp.int32(0))
+        pos, alive, hit, steps, _ = jax.lax.while_loop(
+            cond, body, (pos, alive, hit, steps, jnp.int32(0))
         )
-        return pos, hit
+        return pos, hit, steps
+
+    def _trace_shadow(self, params, pos, normals, view_dirs, gt_bvh: bool):
+        """Soft-shadow factor per hit point: sphere trace from the surface
+        toward the sun accumulating Quilez min-visibility
+        (``prepare_shadow_rays`` + the shadow branch of
+        ``advance_pos_kernel_sdf``, ``src/testbed_sdf.cu:196-206,233-297``).
+        Returns visibility in [0,1]; 0 when the shadow ray re-hits."""
+        from ngp_tpu.ops.shading import soft_shadow_visibility_update
+
+        L = jnp.asarray(self.sun_dir)
+        L = L / jnp.linalg.norm(L)
+        # faceforward: offset along the normal hemisphere facing the viewer
+        nf = jnp.where(
+            jnp.sum(normals * view_dirs, axis=-1, keepdims=True) > 0,
+            -normals,
+            normals,
+        )
+        o = pos + nf * 1e-3
+        dirs = jnp.broadcast_to(L, o.shape)
+
+        def sdf_fn(p):
+            if gt_bvh:
+                return signed_distance_watertight(self.bvh, p)
+            return self.model(params, p)[:, 0]
+
+        alive = jnp.ones(o.shape[0], bool)
+        hit_again = jnp.zeros_like(alive)
+        min_vis = jnp.ones(o.shape[0])
+        prev_d = jnp.full(o.shape[0], 1e20)
+        total_d = jnp.zeros(o.shape[0])
+
+        def body(c):
+            p, alive, hit, mv, pd, td, it = c
+            d = (sdf_fn(p) - self.zero_offset) * self.distance_scale
+            newp = p + d[:, None] * dirs
+            mv2, pd2, td2 = soft_shadow_visibility_update(
+                mv, pd, td, d, self.shadow_sharpness
+            )
+            mv = jnp.where(alive, mv2, mv)
+            pd = jnp.where(alive, pd2, pd)
+            td = jnp.where(alive, td2, td)
+            converged = alive & (jnp.abs(d) < self.maximum_distance)
+            inside = jnp.all(
+                (newp >= self.aabb_min) & (newp <= self.aabb_max), axis=-1
+            )
+            hit = hit | converged
+            p = jnp.where(alive[:, None], newp, p)
+            alive = alive & ~converged & inside
+            return p, alive, hit, mv, pd, td, it + 1
+
+        def cond(c):
+            return jnp.any(c[1]) & (c[6] < MARCH_ITER)
+
+        _, _, hit_again, min_vis, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (o, alive, hit_again, min_vis, prev_d, total_d, jnp.int32(0)),
+        )
+        # write_shadow_ray_result: occluded rays → 0, misses keep min_vis
+        return jnp.where(hit_again, 0.0, jnp.clip(min_vis, 0.0, 1.0))
 
     def _shade(self, params, pos, dirs, hit, gt_bvh: bool):
         """Normals from the model's input gradient (the reference's
@@ -221,21 +293,79 @@ class SdfEngine:
         rgb = base[None, :] * (0.2 + 0.8 * ndotl)[:, None]
         return jnp.where(hit[:, None], rgb, 0.0), n
 
-    def render_rays(self, state, origins, dirs, gt_bvh: bool = False):
+    def _shade_mode(self, params, pos, dirs, hit, steps, gt_bvh: bool,
+                    mode: str, shadow: bool):
+        """``shade_kernel_sdf`` (``src/testbed_sdf.cu:297-375``) render
+        modes on TPU: Shade (Disney BRDF + sun/sky + optional sphere-traced
+        soft shadows), AO (step-count occlusion), Normals, Positions,
+        Cost."""
+        from ngp_tpu.ops.shading import evaluate_shading
+
+        _, n = self._shade(params, pos, dirs, hit, gt_bvh)  # unit normals
+        if mode == "normals":
+            rgb = 0.5 * n + 0.5
+        elif mode == "ao":
+            rgb = jnp.broadcast_to(
+                (0.92 ** steps.astype(jnp.float32))[:, None], pos.shape
+            )
+        elif mode == "positions":
+            rgb = (pos - 0.5) / 2.0 + 0.5
+        elif mode == "cost":
+            rgb = jnp.broadcast_to(
+                (steps.astype(jnp.float32) / 30.0)[:, None], pos.shape
+            )
+        elif mode == "shade":
+            L = jnp.asarray(self.sun_dir)
+            L = L / jnp.linalg.norm(L)
+            up = jnp.asarray(self.up_dir)
+            shadow_factor = (
+                self._trace_shadow(params, pos, n, dirs, gt_bvh)
+                if shadow
+                else jnp.ones(pos.shape[0])
+            )
+            skyam = -jnp.sum(n * up, axis=-1) * 0.5 + 0.5
+            suncol = (
+                jnp.asarray([255.0, 225.0, 195.0]) / 255.0 * 4.0
+            ) * shadow_factor[:, None]
+            skycol = (
+                jnp.asarray([195.0, 215.0, 255.0]) / 255.0 * 4.0
+            ) * skyam[:, None]
+            base = jnp.asarray(self.brdf.basecolor)
+            base = jnp.broadcast_to(base * base, pos.shape)
+            amb = jnp.asarray(self.brdf.ambientcolor) * skycol
+            rgb = evaluate_shading(
+                base, amb, suncol, L, -dirs, n, self.brdf
+            )
+        else:
+            raise ValueError(f"unknown SDF render mode '{mode}'")
+        return jnp.where(hit[:, None], rgb, 0.0), n
+
+    def render_rays(self, state, origins, dirs, gt_bvh: bool = False,
+                    mode: str = "headlight", shadow: bool = False):
+        """``mode``: "headlight" (round-1 simple diffuse), "shade" (BRDF
+        parity), "ao", "normals", "positions", "cost". ``shadow`` adds the
+        sphere-traced soft-shadow pass (``m_trace_shadow_rays``)."""
         params = self.trainer.inference_params(state)
-        name = ("render", gt_bvh)
+        name = ("render", gt_bvh, mode, shadow)
         fn = self._jit.get(name)
         if fn is None:
             def run(params, o, d):
-                pos, hit = self._trace(params, o, d, gt_bvh)
-                rgb, n = self._shade(params, pos, d, hit, gt_bvh)
+                pos, hit, steps = self._trace(params, o, d, gt_bvh)
+                if mode == "headlight":
+                    rgb, n = self._shade(params, pos, d, hit, gt_bvh)
+                else:
+                    rgb, n = self._shade_mode(
+                        params, pos, d, hit, steps, gt_bvh, mode, shadow
+                    )
                 depth = jnp.linalg.norm(pos - o, axis=-1)
                 return rgb, depth, hit
             fn = jax.jit(run)
             self._jit[name] = fn
         return fn(params, origins, dirs)
 
-    def render_image(self, state, eye, lookat, resolution=(256, 256), fov_deg=45.0, gt_bvh=False):
+    def render_image(self, state, eye, lookat, resolution=(256, 256),
+                     fov_deg=45.0, gt_bvh=False, mode: str = "headlight",
+                     shadow: bool = False):
         W, H = resolution
         eye = np.asarray(eye, np.float32)
         fwd = np.asarray(lookat, np.float32) - eye
@@ -254,7 +384,8 @@ class SdfEngine:
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         o = np.broadcast_to(eye, d.shape)
         rgb, depth, hit = self.render_rays(
-            state, jnp.asarray(o), jnp.asarray(d.astype(np.float32)), gt_bvh
+            state, jnp.asarray(o), jnp.asarray(d.astype(np.float32)), gt_bvh,
+            mode=mode, shadow=shadow,
         )
         return np.asarray(rgb).reshape(H, W, 3), np.asarray(hit).reshape(H, W)
 

@@ -134,3 +134,21 @@ def sample_surface(mesh: Mesh, u: np.ndarray, cdf: np.ndarray | None = None) -> 
     return (
         tri[:, 0] * (1.0 - su) + tri[:, 1] * (su * (1.0 - v)) + tri[:, 2] * (su * v)
     ).astype(np.float32)
+
+
+def load_xyz(path: str) -> np.ndarray:
+    """Parse a ``.xyz`` point cloud (one ``x y z [extras]`` line per
+    point) — the fork's ``cl::point_cloud::XYZLoader`` input
+    (``src/testbed_nerf.cu:3396-3407``). Returns (N, 3) float32 raw
+    coordinates (caller applies the dataset's scale/offset/axis cycle)."""
+    pts = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 3:
+                try:
+                    pts.append([float(parts[0]), float(parts[1]),
+                                float(parts[2])])
+                except ValueError:
+                    continue  # header/comment line
+    return np.asarray(pts, np.float32).reshape(-1, 3)

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Reference constants (src/testbed_nerf.cu:55-100, nerf.h:24-30).
 NERF_GRIDSIZE = 128
@@ -314,3 +315,94 @@ def mark_untrained_cells(
     # cells to density 1.0 — so training starts with all visible space
     # occupied — and culled cells to -1.
     return jnp.where(vis, 1.0, -1.0)
+
+
+# -- fork extras: geometry-seeded occupancy priors (host-side, one-time)
+
+
+def seed_grid_from_mesh(
+    cfg: OccupancyGridConfig,
+    triangles: np.ndarray,  # (T, 3, 3) NGP-space vertices
+) -> np.ndarray:
+    """Precomputed density prior from a mesh: every cell stays culled (-1)
+    except cells a triangle passes through, which become trainable (0) —
+    ``Testbed::load_mesh_for_density_grid``
+    (``src/testbed_nerf.cu:3176-3300``; that code voxelizes with exact
+    box-triangle tests per cascade). Here each triangle is rasterized by
+    barycentric point sampling at half-voxel spacing — conservative enough
+    for a prior that the density MLP refines, and fully vectorized.
+
+    Returns a host (C, G, G, G) float32 array to pass to
+    ``NerfEngine.init_grid(precomputed_density=...)``."""
+    G = cfg.grid_size
+    tris = np.asarray(triangles, np.float32)
+    density = np.full((cfg.n_cascades, G, G, G), -1.0, np.float32)
+
+    # sampling resolution per triangle: half the finest voxel
+    spacing = 0.5 / G
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    longest = np.maximum(
+        np.linalg.norm(e1, axis=-1),
+        np.maximum(np.linalg.norm(e2, axis=-1),
+                   np.linalg.norm(e2 - e1, axis=-1)),
+    )
+    n_sub = np.clip(np.ceil(longest / spacing).astype(np.int64), 1, 256)
+
+    for n in np.unique(n_sub):
+        sel = tris[n_sub == n]
+        # barycentric lattice (a, b), a+b <= n
+        a, b = np.meshgrid(np.arange(n + 1), np.arange(n + 1))
+        keep = (a + b) <= n
+        u = (a[keep] / max(n, 1)).astype(np.float32)
+        v = (b[keep] / max(n, 1)).astype(np.float32)
+        pts = (
+            sel[:, None, 0]
+            + u[None, :, None] * (sel[:, None, 1] - sel[:, None, 0])
+            + v[None, :, None] * (sel[:, None, 2] - sel[:, None, 0])
+        ).reshape(-1, 3)
+        for c in range(cfg.n_cascades):
+            # cell coords at cascade c (cell_index_at semantics)
+            p = (pts - 0.5) * (2.0 ** -c) + 0.5
+            cell = np.floor(p * G).astype(np.int64)
+            ok = np.all((cell >= 0) & (cell < G), axis=-1)
+            cell = cell[ok]
+            density[c, cell[:, 0], cell[:, 1], cell[:, 2]] = 0.0
+    return density
+
+
+def seed_grid_from_point_cloud(
+    cfg: OccupancyGridConfig,
+    points: np.ndarray,  # (N, 3) NGP-space points
+    dilation: int = 1,
+    mark_ground_sky: bool = True,
+) -> np.ndarray:
+    """Precomputed density prior from a point cloud: cells within
+    ``dilation`` (r=1 → 3³ neighborhood) of a point become trainable, plus
+    boundary ground/sky planes at the coarsest cascade —
+    ``Testbed::build_density_grid_from_point_cloud``
+    (``src/testbed_nerf.cu:3302-3407``)."""
+    G = cfg.grid_size
+    pts = np.asarray(points, np.float32)
+    density = np.full((cfg.n_cascades, G, G, G), -1.0, np.float32)
+    r = int(dilation)
+    offs = np.stack(
+        np.meshgrid(*([np.arange(-r, r + 1)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    for c in range(cfg.n_cascades):
+        p = (pts - 0.5) * (2.0 ** -c) + 0.5
+        cell = np.floor(p * G).astype(np.int64)
+        ok = np.all((cell >= 0) & (cell < G), axis=-1)
+        cell = (cell[ok, None, :] + offs[None, :, :]).reshape(-1, 3)
+        ok2 = np.all((cell >= 0) & (cell < G), axis=-1)
+        cell = cell[ok2]
+        density[c, cell[:, 0], cell[:, 1], cell[:, 2]] = 0.0
+    if mark_ground_sky:
+        # reference: planes (x, y, 0), (0, x, y) and their far siblings at
+        # the last cascade (testbed_nerf.cu:3366-3386)
+        last = cfg.n_cascades - 1
+        density[last, :, :, 0] = 0.0
+        density[last, 0, :, :] = 0.0
+        density[last, :, :, G - 1] = 0.0
+        density[last, G - 1, :, :] = 0.0
+    return density

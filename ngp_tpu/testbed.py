@@ -169,6 +169,44 @@ class Testbed:
         if rebuild and self.mode is not None and getattr(self, "scene", None):
             self._build_engine(config)
 
+    def _nerf_geometry_prior(self, ds):
+        """The fork's geometry-seeded occupancy: next to the dataset, a
+        ``<name>.obj`` mesh or ``<name>.xyz`` point cloud pre-seeds the
+        density grid (``Testbed::load_nerf``,
+        ``src/testbed_nerf.cu:3115-3159``). Returns a (C, G, G, G) prior or
+        None."""
+        import numpy as np
+
+        from ngp_tpu.ops import occupancy as occ
+
+        scene = self.scene
+        base = scene if os.path.isdir(scene) else os.path.dirname(scene)
+        name = os.path.basename(os.path.normpath(base))
+        eng = self.engine
+        obj = os.path.join(base, name + ".obj")
+        xyz = os.path.join(base, name + ".xyz")
+        if os.path.exists(obj):
+            from ngp_tpu.geometry.mesh import load_mesh_file
+
+            tris = load_mesh_file(obj)  # (T, 3, 3) raw
+            # raw -> NGP space: the fork cycles axes (x,y,z)->(-z,y,x) then
+            # scale/offset (load_mesh_for_density_grid,
+            # src/testbed_nerf.cu:3205-3212)
+            v = tris.reshape(-1, 3)
+            v = np.stack([-v[:, 2], v[:, 1], v[:, 0]], -1)
+            v = ds.scale * v + np.asarray(ds.offset, np.float32)
+            return occ.seed_grid_from_mesh(eng.grid_cfg, v.reshape(-1, 3, 3))
+        if os.path.exists(xyz):
+            from ngp_tpu.geometry.mesh import load_xyz
+
+            pts = load_xyz(xyz)
+            # scale/offset then cycle x<-y<-z (build_density_grid_from_
+            # point_cloud, src/testbed_nerf.cu:3322-3327)
+            pts = ds.scale * pts + np.asarray(ds.offset, np.float32)
+            pts = pts[:, [1, 2, 0]]
+            return occ.seed_grid_from_point_cloud(eng.grid_cfg, pts)
+        return None
+
     def _build_engine(self, cfg: dict) -> None:
         import copy
         import dataclasses
@@ -188,7 +226,9 @@ class Testbed:
                 cfg, ds, **{k: v for k, v in kw.items() if k in fields_of(NerfEngine)}
             )
             self.state = self.engine.init_state()
-            self.grid = self.engine.init_grid()
+            self.grid = self.engine.init_grid(
+                precomputed_density=self._nerf_geometry_prior(ds)
+            )
         elif self.mode == "sdf":
             from ngp_tpu.engines.sdf import SdfEngine
 

@@ -171,3 +171,88 @@ def test_sdf_fit_cube(engine):
         s2 = engine.load_snapshot(p)
         iou2 = engine.calculate_iou(s2, n_samples=1 << 14)
         assert abs(iou2 - iou) < 0.02
+
+
+def test_brdf_shading_properties():
+    """evaluate_shading (testbed_sdf.cu:78-148): backfaces get ambient only;
+    a lit front face exceeds ambient; energy scales with light color."""
+    import jax.numpy as jnp
+
+    from ngp_tpu.ops.shading import BRDFParams, evaluate_shading
+
+    N = jnp.asarray([[0.0, 1.0, 0.0]] * 3)
+    V = jnp.asarray([[0.0, 1.0, 0.0]] * 3)
+    L = jnp.asarray([0.0, 1.0, 0.0])
+    base = jnp.full((3, 3), 0.64)
+    amb = jnp.full((3, 3), 0.1)
+    sun = jnp.stack([jnp.zeros(3), jnp.full(3, 2.0), jnp.full(3, 4.0)])
+    out = np.asarray(evaluate_shading(base, amb, sun, L, V, N, BRDFParams()))
+    assert np.all(out[1] > out[0])  # light adds energy
+    assert np.all(out[2] > out[1])  # monotone in light color
+    # backface: flip normal -> ambient-only
+    out_back = np.asarray(
+        evaluate_shading(base, amb, sun, L, V, -N, BRDFParams())
+    )
+    np.testing.assert_allclose(out_back[1], out_back[0], atol=1e-6)
+
+
+def test_soft_shadow_visibility_update():
+    import jax.numpy as jnp
+
+    from ngp_tpu.ops.shading import soft_shadow_visibility_update
+
+    mv, pd, td = (jnp.ones(2), jnp.full(2, 1e20), jnp.asarray([0.5, 0.5]))
+    # a tiny sphere radius near an occluder drops visibility sharply
+    mv2, pd2, td2 = soft_shadow_visibility_update(
+        mv, pd, td, jnp.asarray([1e-4, 0.2]), 8.0
+    )
+    assert float(mv2[0]) < 0.01  # grazing an occluder
+    assert float(mv2[1]) > 0.5  # wide clearance
+    np.testing.assert_allclose(np.asarray(td2), [0.5001, 0.7], rtol=1e-4)
+
+
+def test_sdf_render_modes_and_shadows():
+    """All shade_kernel_sdf modes render; with a blocker cube along the sun
+    direction, the BRDF shade with shadow rays darkens occluded pixels vs
+    the unshadowed shade (GT BVH, no training needed)."""
+    from ngp_tpu.engines.sdf import SdfEngine
+    from ngp_tpu.geometry.mesh import Mesh
+
+    tris = np.concatenate([
+        _cube_triangles([0.45, 0.35, 0.5], 0.2),
+        # blocker offset along sun dir (1,1,1)/sqrt(3) from the main cube
+        _cube_triangles([0.72, 0.72, 0.77], 0.08),
+    ])
+    mesh = Mesh(
+        triangles=tris, mesh_scale=1.0,
+        raw_aabb_min=np.zeros(3, np.float32),
+        raw_aabb_max=np.ones(3, np.float32),
+        aabb_min=np.full(3, 0.02, np.float32),
+        aabb_max=np.full(3, 0.98, np.float32),
+    )
+    engine = SdfEngine(dict(CONFIG), mesh, batch_size=1 << 12, seed=3)
+    state = engine.init_state()
+    eye, lookat = (0.5, 1.3, -0.6), (0.5, 0.45, 0.5)
+    imgs = {}
+    for mode in ("shade", "ao", "normals", "positions", "cost"):
+        rgb, hit = engine.render_image(
+            state, eye, lookat, resolution=(48, 48), gt_bvh=True, mode=mode
+        )
+        assert np.isfinite(rgb).all(), mode
+        assert hit.any(), mode
+        imgs[mode] = (rgb, hit)
+
+    rgb_sh, hit = engine.render_image(
+        state, eye, lookat, resolution=(48, 48), gt_bvh=True, mode="shade",
+        shadow=True,
+    )
+    rgb_nosh = imgs["shade"][0]
+    lum_sh = rgb_sh.sum(-1)[hit]
+    lum_no = rgb_nosh.sum(-1)[hit]
+    assert np.all(lum_sh <= lum_no + 1e-4)
+    assert (lum_sh < lum_no - 1e-3).any(), "shadows changed nothing"
+    # normals mode encodes unit normals
+    nrm = imgs["normals"][0][imgs["normals"][1]] * 2.0 - 1.0
+    np.testing.assert_allclose(
+        np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-2
+    )
