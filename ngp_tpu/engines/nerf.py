@@ -1080,7 +1080,15 @@ class NerfEngine:
     def inference_params(self, state: TrainState):
         return state.ema.params if self.ema_decay is not None else state.params
 
-    def _render_chunk(self, params, bitfield, origins, dirs):
+    def _render_chunk(self, params, bitfield, origins, dirs, mode: str = "shade"):
+        """One fixed-size chunk of rays → (rgb, depth, opacity).
+
+        ``mode`` selects the reference's debug render modes
+        (``ERenderMode``, ``common.h:110-122``; per-mode branches of
+        ``composite_kernel_nerf``, ``testbed_nerf.cu:1024-1230``):
+        ``shade`` (default), ``depth``, ``normals`` (composited
+        −∇σ/|∇σ|), ``positions``, ``cost`` (march-step count heat), ``ao``
+        (accumulated opacity)."""
         tmin, _ = ray_aabb_range(origins, dirs, self.aabb.min, self.aabb.max)
         n0 = self.stepping.to_steps(tmin + 1e-4)
         marched = march_rays(
@@ -1120,10 +1128,41 @@ class NerfEngine:
         ).reshape(-1, 4)[:n].reshape(N, K, 4)
         rgb = rgb_activation(self.rgb_act)(raw[..., :3])
         sigma = density_activation(self.density_act)(raw[..., 3])
+        if mode == "normals":
+            # −∇σ/|∇σ| composited like color, mapped to [0,1]
+            # (testbed_nerf.cu's Normals composite branch).
+            def dsum(p3):
+                r = self.network.density(
+                    params["model"], p3, differentiable_inputs=True
+                )
+                return jnp.sum(density_activation(self.density_act)(r[:, 0]))
+
+            g = jax.lax.map(
+                jax.grad(dsum), pos_w.reshape(-1, chunk, 3)
+            ).reshape(-1, 3)[:n].reshape(N, K, 3)
+            nrm = -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+            rgb = (nrm + 1.0) * 0.5
+        elif mode == "positions":
+            rgb = pos_w[: N * K].reshape(N, K, 3)
         comp = composite(
             rgb, sigma, marched.dt, marched.t, marched.valid,
             self.min_transmittance_render,
         )
+        if mode == "depth":
+            return (
+                jnp.repeat(comp.depth[:, None], 3, axis=1),
+                comp.depth,
+                comp.opacity,
+            )
+        if mode == "cost":
+            heat = marched.n_samples.astype(jnp.float32) / 128.0
+            return jnp.repeat(heat[:, None], 3, 1), comp.depth, comp.opacity
+        if mode == "ao":
+            return (
+                jnp.repeat(comp.opacity[:, None], 3, 1),
+                comp.depth,
+                comp.opacity,
+            )
         bg = jnp.broadcast_to(
             jnp.asarray(self.background_color, jnp.float32), (N, 3)
         )
@@ -1142,13 +1181,14 @@ class NerfEngine:
         out_rgb = comp.rgb + comp.transmittance[:, None] * bg
         return out_rgb, comp.depth, comp.opacity
 
-    def render_rays(self, state, grid, origins, dirs, chunk: int = 1 << 16):
+    def render_rays(self, state, grid, origins, dirs, chunk: int = 1 << 16,
+                    mode: str = "shade"):
         """Render arbitrary rays in fixed-size chunks; returns (rgb, depth,
         opacity) arrays shaped like the inputs."""
-        fn = self._jit_cache.get(("render", chunk))
+        fn = self._jit_cache.get(("render", chunk, mode))
         if fn is None:
-            fn = jax.jit(self._render_chunk)
-            self._jit_cache[("render", chunk)] = fn
+            fn = jax.jit(partial(self._render_chunk, mode=mode))
+            self._jit_cache[("render", chunk, mode)] = fn
         params = self.inference_params(state)
         n = origins.shape[0]
         rgbs, depths, opas = [], [], []
@@ -1170,9 +1210,15 @@ class NerfEngine:
             jnp.concatenate(opas, 0),
         )
 
-    def render_image(self, state, grid, image_index: int, stride: int = 1):
+    def render_image(self, state, grid, image_index: int, stride: int = 1,
+                     mode: str = "shade", overlay: str | None = None):
         """Render the training view ``image_index`` (optionally strided for
-        quick eval); returns (H', W', 3) in the training color space."""
+        quick eval); returns (H', W', 3) in the training color space.
+
+        ``mode``: see :meth:`render_rays`. ``overlay``: ``"gt"`` splices the
+        ground-truth left half next to the render (the GUI's ground-truth
+        overlay, ``testbed.cu:4722-4752``); ``"error"`` returns a
+        false-color squared-error heat map (``:4755-4774``)."""
         W, H = self.resolution
         xs = np.arange(0, W, stride)
         ys = np.arange(0, H, stride)
@@ -1197,8 +1243,41 @@ class NerfEngine:
         d = dir_cam @ xf[:, :3].T
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         o = jnp.broadcast_to(xf[:, 3], (n, 3))
-        rgb, depth, opa = self.render_rays(state, grid, o, d)
-        return rgb.reshape(len(ys), len(xs), 3)
+        rgb, depth, opa = self.render_rays(state, grid, o, d, mode=mode)
+        img = rgb.reshape(len(ys), len(xs), 3)
+        if overlay is not None:
+            gt = self.data.images[image_index][py, px][..., :3].astype(
+                jnp.float32
+            )
+            if self.data.images.dtype == jnp.uint8:
+                gt = gt / 255.0
+            if overlay == "gt":
+                half = img.shape[1] // 2
+                img = jnp.concatenate([gt[:, :half], img[:, half:]], axis=1)
+            elif overlay == "error":
+                err = jnp.mean((img - gt) ** 2, axis=-1)
+                # false-color heat: blue → red over the error range
+                e = err / jnp.maximum(jnp.max(err), 1e-9)
+                img = jnp.stack([e, 0.25 * e, 1.0 - e], axis=-1)
+            else:
+                raise ValueError(f"unknown overlay {overlay!r}")
+        return img
+
+    def render_density_slice(self, state, z: float, resolution: int = 256):
+        """Density on an axis-aligned plane at height ``z`` ∈ [0,1] of the
+        AABB — the Slice render mode, which skips tracing entirely
+        (``render_nerf``'s Slice branch, ``testbed_nerf.cu:2752-2871``).
+        Returns (res, res) activated densities."""
+        xs = (np.arange(resolution) + 0.5) / resolution
+        px, py = np.meshgrid(xs, xs)
+        pos_w = jnp.asarray(
+            np.stack([px, np.full_like(px, z), py], -1).reshape(-1, 3),
+            jnp.float32,
+        )
+        params = self.inference_params(state)
+        raw = self.chunked_density(params["model"], pos_w)
+        sigma = density_activation(self.density_act)(raw)
+        return np.asarray(sigma).reshape(resolution, resolution)
 
     def render_view(
         self,

@@ -53,10 +53,26 @@ class SdfEngine:
     up_dir: tuple = (0.0, 1.0, 0.0)
     shadow_sharpness: float = 2048.0
     brdf: "BRDFParams | None" = None
+    # Octree acceleration (``m_sdf.use_triangle_octree``): empty-space
+    # skipping for the tracer + octree-leaf uniform sampling + IoU
+    # masking. Forced on (like the reference) by a Takikawa encoding.
+    use_octree: bool = False
+    octree_depth: int = 0  # 0 → encoding n_levels, else 8
     seed: int = 1337
 
     def __post_init__(self):
-        self.model = create_network_with_input_encoding(3, 1, self.config)
+        enc_cfg = self.config.get("encoding", {})
+        takikawa = enc_cfg.get("otype", "").lower() == "takikawa"
+        self.octree = None
+        if takikawa or self.use_octree:
+            from ngp_tpu.geometry.triangle_octree import TriangleOctree
+
+            depth = self.octree_depth or int(enc_cfg.get("n_levels", 8))
+            self.octree = TriangleOctree.build(self.mesh.triangles, depth)
+            self.use_octree = True
+        self.model = create_network_with_input_encoding(
+            3, 1, self.config, octree=self.octree
+        )
         self.trainer = Trainer(
             model_fn=self.model.__call__,
             loss_fn=create_loss(self.config.get("loss", {"otype": "MAPE"})),
@@ -71,6 +87,9 @@ class SdfEngine:
             from ngp_tpu.ops.shading import BRDFParams
 
             self.brdf = BRDFParams()
+        # pyngp override_sdf_training_data (python_api.cu:69-99): when set,
+        # training draws from these (points, distances) instead of the BVH.
+        self.override_training_data: tuple | None = None
         self._jit: dict[Any, Any] = {}
 
     @classmethod
@@ -110,9 +129,14 @@ class SdfEngine:
         perturb = s * jnp.log(uu / (1.0 - uu))
         offset_pos = surf[n_exact:] + perturb
 
-        lo = self.aabb_min - self.zero_offset
-        hi = self.aabb_max + self.zero_offset
-        uni = lo + jax.random.uniform(k3, (n_uniform, 3)) * (hi - lo)
+        if self.octree is not None:
+            # Uniform samples inside random octree leaf voxels
+            # (uniform_octree_sample_kernel, testbed_sdf.cu:436-471).
+            uni = self.octree.sample_uniform(k3, n_uniform)
+        else:
+            lo = self.aabb_min - self.zero_offset
+            hi = self.aabb_max + self.zero_offset
+            uni = lo + jax.random.uniform(k3, (n_uniform, 3)) * (hi - lo)
 
         query = jnp.concatenate([offset_pos, uni], axis=0)
         sd = signed_distance_watertight(self.bvh, query)
@@ -128,11 +152,13 @@ class SdfEngine:
         metrics = None
         step0 = int(state.step)
         for step in range(step0, step0 + n_steps):
-            if pos is None or step % self.data_refresh_interval == 0:
+            if self.override_training_data is not None:
+                pos, dist = self.override_training_data
+            elif pos is None or step % self.data_refresh_interval == 0:
                 dkey = jax.random.fold_in(key, 10_000_000 + step)
                 pos, dist = self.generate_training_samples(dkey, self.batch_size)
             skey = jax.random.fold_in(key, step)
-            perm = jax.random.permutation(skey, self.batch_size)
+            perm = jax.random.permutation(skey, pos.shape[0])
             state, loss = self.trainer.training_step(
                 state, pos[perm], dist[perm][:, None]
             )
@@ -150,6 +176,11 @@ class SdfEngine:
         pred = self.model(params, pos)[:, 0]
         inside_gt = gt < 0
         inside_pred = pred < 0
+        if self.octree is not None:
+            # Outside the octree the model is assumed correct
+            # (compare_signs_kernel, testbed_sdf.cu:474-483).
+            contained = self.octree.contains(pos)
+            inside_pred = jnp.where(contained, inside_pred, inside_gt)
         inter = jnp.sum(inside_gt & inside_pred)
         union = jnp.sum(inside_gt | inside_pred)
         return float(inter) / max(float(union), 1.0)
@@ -176,6 +207,12 @@ class SdfEngine:
         def body(c):
             pos, alive, hit, steps, it = c
             d = (sdf_fn(pos) - self.zero_offset) * self.distance_scale
+            if self.octree is not None:
+                # Empty-space skip outside the octree: a conservative
+                # lower bound on the distance to the octree region
+                # replaces the reference's per-ray octree ray_intersect
+                # re-entry (advance_pos_kernel_sdf, testbed_sdf.cu:183-186).
+                d = jnp.maximum(d, self.octree.skip_distance(pos))
             newpos = pos + d[:, None] * dirs
             converged = alive & (jnp.abs(d) < self.maximum_distance)
             inside_box = jnp.all(
@@ -228,6 +265,8 @@ class SdfEngine:
         def body(c):
             p, alive, hit, mv, pd, td, it = c
             d = (sdf_fn(p) - self.zero_offset) * self.distance_scale
+            if self.octree is not None:
+                d = jnp.maximum(d, self.octree.skip_distance(p))
             newp = p + d[:, None] * dirs
             mv2, pd2, td2 = soft_shadow_visibility_update(
                 mv, pd, td, d, self.shadow_sharpness

@@ -23,8 +23,22 @@ from ngp_tpu.models.nerf_network import NerfNetwork
 from ngp_tpu.ops.losses import get_loss
 
 
-def create_encoding(n_input_dims: int, cfg: dict) -> Encoding:
+def create_encoding(n_input_dims: int, cfg: dict, octree=None) -> Encoding:
     otype = cfg.get("otype", "Identity").lower()
+    if otype == "takikawa":
+        from ngp_tpu.models.takikawa import TakikawaEncoding
+
+        if octree is None:
+            raise ValueError(
+                "Takikawa encoding needs a TriangleOctree (built from the "
+                "scene mesh, reference testbed.cu:4082-4098)"
+            )
+        return TakikawaEncoding(
+            octree=octree,
+            starting_level=cfg.get("starting_level", 0),
+            n_features_per_level=cfg.get("n_features_per_level", 2),
+            sum_instead_of_concat=cfg.get("sum_instead_of_concat", False),
+        )
     if otype in ("hashgrid", "densegrid", "tiledgrid", "grid"):
         grid_type = {
             "hashgrid": "Hash",
@@ -112,9 +126,9 @@ class NetworkWithInputEncoding:
 
     @classmethod
     def from_config(
-        cls, n_input_dims: int, n_output_dims: int, cfg: dict
+        cls, n_input_dims: int, n_output_dims: int, cfg: dict, octree=None
     ) -> "NetworkWithInputEncoding":
-        enc = create_encoding(n_input_dims, cfg["encoding"])
+        enc = create_encoding(n_input_dims, cfg["encoding"], octree=octree)
         net = create_network(enc.n_output_dims, n_output_dims, cfg["network"])
         return cls(enc, net)
 
@@ -133,9 +147,11 @@ class NetworkWithInputEncoding:
 
 
 def create_network_with_input_encoding(
-    n_input_dims: int, n_output_dims: int, cfg: dict
+    n_input_dims: int, n_output_dims: int, cfg: dict, octree=None
 ) -> NetworkWithInputEncoding:
-    return NetworkWithInputEncoding.from_config(n_input_dims, n_output_dims, cfg)
+    return NetworkWithInputEncoding.from_config(
+        n_input_dims, n_output_dims, cfg, octree=octree
+    )
 
 
 def create_nerf_network(cfg: dict, n_extra_dims: int = 0) -> NerfNetwork:

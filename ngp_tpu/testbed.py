@@ -277,18 +277,121 @@ class Testbed:
             self.state, loss = self.engine.train(self.state, n_steps)
             self.loss = float(loss)
 
+    # -- dynamic dataset building (pyngp nerf.training surface,
+    #    python_api.cu:set_camera_extrinsics/set_camera_intrinsics/set_image)
+
+    @property
+    def n_images(self) -> int:
+        assert self.mode == "nerf"
+        return int(self.engine.data.images.shape[0])
+
+    def set_camera_extrinsics(self, frame_idx: int, camera_to_world,
+                              convert_to_ngp: bool = True) -> None:
+        """Overwrite one training camera's pose. ``camera_to_world`` (3,4)
+        or (4,4); ``convert_to_ngp`` applies the dataset's nerf→ngp
+        transform (scale 0.33/offset/yzx cycle) like the reference
+        (``python_api.cu`` → ``NerfDataset::nerf_matrix_to_ngp``)."""
+        assert self.mode == "nerf"
+        import jax.numpy as jnp
+
+        from ngp_tpu.data.nerf_loader import nerf_matrix_to_ngp
+
+        m = np.asarray(camera_to_world, np.float32)[:3, :4]
+        ds = self.engine.dataset
+        if convert_to_ngp:
+            m = nerf_matrix_to_ngp(m, ds.scale, np.asarray(ds.offset))
+        data = self.engine.data
+        self.engine.data = data._replace(
+            xforms=data.xforms.at[frame_idx].set(jnp.asarray(m))
+        )
+
+    def get_camera_extrinsics(self, frame_idx: int,
+                              convert_to_nerf: bool = True) -> np.ndarray:
+        assert self.mode == "nerf"
+        from ngp_tpu.data.nerf_loader import ngp_matrix_to_nerf
+
+        m = np.asarray(self.engine.data.xforms[frame_idx])
+        ds = self.engine.dataset
+        if convert_to_nerf:
+            m = ngp_matrix_to_nerf(m, ds.scale, np.asarray(ds.offset))
+        return m
+
+    def set_camera_intrinsics(self, frame_idx: int, fx: float | None = None,
+                              fy: float | None = None, cx: float | None = None,
+                              cy: float | None = None) -> None:
+        """Overwrite one training camera's focal/principal point (pixels)."""
+        assert self.mode == "nerf"
+        import jax.numpy as jnp
+
+        data = self.engine.data
+        W, H = self.engine.resolution
+        f = np.array(data.focals[frame_idx], np.float32)
+        p = np.array(data.pps[frame_idx], np.float32)
+        if fx is not None:
+            f[0] = fx
+        if fy is not None:
+            f[1] = fy
+        if cx is not None:
+            p[0] = cx / W
+        if cy is not None:
+            p[1] = cy / H
+        self.engine.data = data._replace(
+            focals=data.focals.at[frame_idx].set(jnp.asarray(f)),
+            pps=data.pps.at[frame_idx].set(jnp.asarray(p)),
+        )
+
+    def set_image(self, frame_idx: int, img: np.ndarray,
+                  depth: np.ndarray | None = None) -> None:
+        """Replace one training image ((H, W, 3|4), float [0,1] or uint8)
+        and optionally its depth map — ``pyngp``'s dynamic dataset path."""
+        assert self.mode == "nerf"
+        import jax.numpy as jnp
+
+        data = self.engine.data
+        img = np.asarray(img)
+        if img.shape[-1] == 3:
+            alpha = np.ones_like(img[..., :1])
+            if img.dtype == np.uint8:
+                alpha = np.full_like(img[..., :1], 255)
+            img = np.concatenate([img, alpha], -1)
+        if data.images.dtype == jnp.uint8 and img.dtype != np.uint8:
+            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        new = data._replace(images=data.images.at[frame_idx].set(jnp.asarray(img)))
+        if depth is not None and data.depths is not None:
+            new = new._replace(
+                depths=data.depths.at[frame_idx].set(jnp.asarray(depth))
+            )
+        self.engine.data = new
+
+    def override_sdf_training_data(self, points: np.ndarray,
+                                   distances: np.ndarray) -> None:
+        """Train the SDF on user-provided (points, distances) instead of
+        BVH-generated samples (``python_api.cu:69-99``)."""
+        assert self.mode == "sdf"
+        import jax.numpy as jnp
+
+        self.engine.override_training_data = (
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(distances, jnp.float32),
+        )
+
     # -- rendering
 
     def render(self, width: int, height: int, spp: int = 1,
                camera_matrix=None, eye=None, lookat=None, fov_deg: float = 50.0,
-               training_view: int | None = None) -> np.ndarray:
+               training_view: int | None = None, start_matrix=None,
+               end_matrix=None, shutter_fraction: float = 0.0) -> np.ndarray:
         """Render an image as (H, W, 3) float32 — ``pyngp.Testbed.render``."""
         if self.mode == "nerf":
             if training_view is not None:
                 img = self.engine.render_image(self.state, self.grid, training_view)
                 return np.asarray(img)
             if camera_matrix is None:
-                camera_matrix = np.asarray(self.engine.data.xforms[0])
+                camera_matrix = (
+                    start_matrix
+                    if start_matrix is not None
+                    else np.asarray(self.engine.data.xforms[0])
+                )
             import jax.numpy as jnp
 
             W, H = width, height
@@ -299,14 +402,35 @@ class Testbed:
             x = (px - 0.5) * W / f
             y = (py - 0.5) * H / f
             dc = np.stack([x, y, np.ones_like(x)], -1).reshape(-1, 3)
-            m = np.asarray(camera_matrix)
-            d = dc @ m[:, :3].T
-            d /= np.linalg.norm(d, axis=-1, keepdims=True)
-            o = np.broadcast_to(m[:, 3], d.shape)
-            rgb, _, _ = self.engine.render_rays(
-                self.state, self.grid, jnp.asarray(o.astype(np.float32)),
-                jnp.asarray(d.astype(np.float32)),
-            )
+            m = np.asarray(camera_matrix, np.float32)[:3, :4]
+            if end_matrix is not None:
+                # Rolling-shutter camera lerp per pixel row between the
+                # start and end poses (pyngp render's start/end/shutter
+                # args; camera slerp like get_xform_given_rolling_shutter).
+                from ngp_tpu.engines.nerf import _lerp_xforms
+
+                me = np.asarray(end_matrix, np.float32)[:3, :4]
+                tpix = jnp.asarray(
+                    (py.reshape(-1) * float(shutter_fraction)).astype(np.float32)
+                )
+                n = dc.shape[0]
+                xf = _lerp_xforms(
+                    jnp.broadcast_to(jnp.asarray(m), (n, 3, 4)),
+                    jnp.broadcast_to(jnp.asarray(me), (n, 3, 4)),
+                    tpix,
+                )
+                d = jnp.einsum(
+                    "nij,nj->ni", xf[:, :, :3], jnp.asarray(dc, jnp.float32)
+                )
+                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                o = xf[:, :, 3]
+            else:
+                d = dc @ m[:, :3].T
+                d /= np.linalg.norm(d, axis=-1, keepdims=True)
+                o = np.broadcast_to(m[:, 3], d.shape)
+                o = jnp.asarray(o.astype(np.float32))
+                d = jnp.asarray(d.astype(np.float32))
+            rgb, _, _ = self.engine.render_rays(self.state, self.grid, o, d)
             return np.asarray(rgb).reshape(H, W, 3)
         if self.mode == "sdf":
             eye = eye if eye is not None else [0.5, 0.5, 2.0]

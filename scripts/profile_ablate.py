@@ -1,0 +1,223 @@
+"""Ablation-based phase profiler for the NeRF train step.
+
+Times the REAL evolving train loop (fresh PRNG key + donated state each
+iteration — impossible for the device tunnel to dedupe) under monkeypatched
+variants of the hot path, and reports marginal costs:
+
+  full            : the shipped train step
+  no_hash_bwd     : grid table gradient zeroed (skips the segment-sum bwd)
+  zero_hash_fwd   : grid encode replaced by a broadcast (skips gather + bwd)
+  no_march        : occupancy march replaced by a fixed lattice
+  no_compact      : compaction disabled (network on all N*K slots)
+  opt_only        : apply_grads alone on real-shaped grads
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+os.makedirs(cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+FOX = "/root/reference/data/nerf/fox"
+
+
+def copy_tree(t):
+    return jax.tree.map(jnp.copy, t)
+
+
+def time_steps(engine, state0, grid, iters):
+    """Time `iters` train steps (state evolves; key differs per step)."""
+    state = copy_tree(state0)
+    key = jax.random.PRNGKey(77)
+    # warmup/compile
+    state, _, m = engine.train_step(state, grid, None, jax.random.fold_in(key, 999))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _, m = engine.train_step(state, grid, None, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    return (time.perf_counter() - t0) / iters * 1e3, m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1 << 18)
+    ap.add_argument("--pretrain", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--variants", type=str, default="")
+    args = ap.parse_args()
+
+    from __graft_entry__ import _default_config, _tiny_sphere_dataset
+    from ngp_tpu.engines.nerf import NerfEngine
+    import ngp_tpu.engines.nerf as nerf_mod
+    import ngp_tpu.models.encodings as enc_mod
+
+    if os.path.isdir(FOX):
+        from ngp_tpu.data.nerf_loader import load_nerf
+
+        dataset = load_nerf(os.path.join(FOX, "transforms.json"))
+    else:
+        dataset = _tiny_sphere_dataset(n_views=12, res=128)
+
+    engine = NerfEngine(_default_config(), dataset, batch_size=args.batch)
+    state = engine.init_state()
+    grid = engine.init_grid()
+    print(f"backend={jax.default_backend()} n_lattice={engine.n_lattice} "
+          f"k0={engine._k} batch={args.batch}", flush=True)
+
+    import pickle
+
+    cache = f"/tmp/ngp_profile_state_{args.batch}_{args.pretrain}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            blob = pickle.load(f)
+        state = jax.tree.map(jnp.asarray, blob["state"])
+        grid = jax.tree.map(jnp.asarray, blob["grid"])
+        engine._k = blob["k"]
+        print(f"loaded pre-trained state from {cache} (k={engine._k})", flush=True)
+    else:
+        t0 = time.time()
+        state, grid, m = engine.train(state, grid, args.pretrain)
+        jax.block_until_ready(state.params)
+        print(f"{args.pretrain} pre-train steps: {time.time()-t0:.1f}s k={engine._k} "
+              f"mean_total={float(m['mean_total']):.1f} "
+              f"occ_frac={float(jnp.mean((grid.bitfield > 0).astype(jnp.float32))):.3f}",
+              flush=True)
+        with open(cache, "wb") as f:
+            pickle.dump(
+                {"state": jax.tree.map(np.asarray, state),
+                 "grid": jax.tree.map(np.asarray, grid), "k": engine._k}, f)
+    k = engine._k
+    engine.adapt_every = 10**9  # freeze geometry during timing
+
+    want = set(args.variants.split(",")) if args.variants else None
+    results = {}
+
+    def run(name, setup=None, teardown=None, eng=None):
+        if want is not None and name not in want:
+            return
+        e = eng or engine
+        e._jit_cache.clear()
+        if setup:
+            setup()
+        try:
+            ms, _ = time_steps(e, state, grid, args.iters)
+            results[name] = ms
+            print(f"{name:>14}: {ms:7.1f} ms/step", flush=True)
+        finally:
+            if teardown:
+                teardown()
+            e._jit_cache.clear()
+
+    run("full")
+
+    # --- no_hash_bwd: same forward, zero table gradient
+    real_ggb = enc_mod.grid_gather_blend
+
+    @jax.custom_vjp
+    def ggb_nobwd(table, idx, w):
+        L, T, F = table.shape
+        flat = (jnp.arange(L, dtype=jnp.uint32)[:, None, None] * jnp.uint32(T)
+                + idx.astype(jnp.uint32)).reshape(-1)
+        feats = jnp.take(table.reshape(L * T, F), flat.astype(jnp.int32),
+                         axis=0).reshape(idx.shape + (F,))
+        return jnp.sum(feats * w[..., None], axis=2)
+
+    def _nb_fwd(table, idx, w):
+        return ggb_nobwd(table, idx, w), table.shape
+
+    def _nb_bwd(shape, g):
+        return jnp.zeros(shape, g.dtype), None, None
+
+    ggb_nobwd.defvjp(_nb_fwd, _nb_bwd)
+    run("no_hash_bwd",
+        setup=lambda: setattr(enc_mod, "grid_gather_blend", ggb_nobwd),
+        teardown=lambda: setattr(enc_mod, "grid_gather_blend", real_ggb))
+
+    # --- zero_hash_fwd: no gather at all (row 0 broadcast keeps shapes/grads)
+    def ggb_zero(table, idx, w):
+        return table[:, 0, :][:, None, :] * jnp.sum(w, axis=2)[..., None]
+
+    run("zero_hash_fwd",
+        setup=lambda: setattr(enc_mod, "grid_gather_blend", ggb_zero),
+        teardown=lambda: setattr(enc_mod, "grid_gather_blend", real_ggb))
+
+    # --- no_march: fixed lattice, all slots valid
+    real_march = nerf_mod.march_rays
+    from ngp_tpu.ops.marching import MarchedRays
+
+    def march_stub(origins, dirs, bitfield, aabb_min, aabb_max, stepping,
+                   n0, n_lattice, n_samples, max_mip):
+        N = origins.shape[0]
+        kk = jnp.arange(n_samples, dtype=jnp.float32)
+        n = n0[:, None] + kk[None, :]
+        t = stepping.from_steps(n)
+        dt = stepping.from_steps(n + 1.0) - t
+        valid = jnp.ones((N, n_samples), bool)
+        total = jnp.full((N,), n_samples, jnp.int32)
+        return MarchedRays(t, dt, valid, total, total, jnp.ones((N,), bool))
+
+    run("no_march",
+        setup=lambda: setattr(nerf_mod, "march_rays", march_stub),
+        teardown=lambda: setattr(nerf_mod, "march_rays", real_march))
+
+    # --- no_compact
+    if want is None or "no_compact" in want:
+        import copy as _copy
+        e2 = _copy.copy(engine)
+        e2._jit_cache = {}
+        object.__setattr__(e2, "compaction_budget_frac", 1.0) if hasattr(
+            type(e2), "__frozen__") else setattr(e2, "compaction_budget_frac", 1.0)
+        e2._k = k
+        run("no_compact", eng=e2)
+
+    # --- opt_only: apply_grads on real-shaped grads (scale varies per iter)
+    if want is None or "opt_only" in want:
+        key = jax.random.PRNGKey(5)
+        st = copy_tree(state)
+        _, _, grads = engine.batch_loss_and_grads(
+            st.params, grid.bitfield, grid.mean_density, key, engine.data,
+            k, args.batch // k)
+        grads = jax.block_until_ready(grads)
+
+        @jax.jit
+        def opt_step(i, st, g):
+            g2 = jax.tree.map(lambda x: x * (1.0 + i * 1e-6), g)
+            return engine.apply_grads(st, g2)
+
+        st = opt_step(jnp.float32(0), st, grads)
+        jax.block_until_ready(st.params)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            st = opt_step(jnp.float32(i + 1), st, grads)
+        jax.block_until_ready(st.params)
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        results["opt_only"] = ms
+        print(f"{'opt_only':>14}: {ms:7.1f} ms/step", flush=True)
+
+    if "full" in results:
+        full = results["full"]
+        print("\n--- marginals vs full ---")
+        for name, ms in results.items():
+            if name in ("full", "opt_only"):
+                continue
+            print(f"{name:>14}: saves {full - ms:7.1f} ms")
+        spd = engine.samples_per_step / full * 1e3 / 1e6
+        print(f"full step: {full:.1f} ms -> {spd:.2f} Msamples/s "
+              f"(measured batch {engine.samples_per_step})")
+
+
+if __name__ == "__main__":
+    main()

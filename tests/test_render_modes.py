@@ -1,0 +1,46 @@
+"""NeRF debug render modes + overlays (ERenderMode parity,
+``common.h:110-122``, ``testbed_nerf.cu:1024-1230``, GUI overlays
+``testbed.cu:4722-4774``)."""
+
+import jax
+import numpy as np
+import pytest
+
+from __graft_entry__ import _default_config, _tiny_sphere_dataset
+from ngp_tpu.engines.nerf import NerfEngine
+
+
+@pytest.fixture(scope="module")
+def trained():
+    eng = NerfEngine(_default_config(), _tiny_sphere_dataset(n_views=6, res=64),
+                     batch_size=1 << 12)
+    state = eng.init_state()
+    grid = eng.init_grid()
+    state, grid, _ = eng.train(state, grid, 12)
+    return eng, state, grid
+
+
+@pytest.mark.parametrize("mode", ["shade", "depth", "normals", "positions",
+                                   "cost", "ao"])
+def test_render_modes(trained, mode):
+    eng, state, grid = trained
+    img = eng.render_image(state, grid, 0, stride=8, mode=mode)
+    assert img.shape == (8, 8, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_overlays(trained):
+    eng, state, grid = trained
+    gt = eng.render_image(state, grid, 0, stride=8, overlay="gt")
+    err = eng.render_image(state, grid, 0, stride=8, overlay="error")
+    assert gt.shape == err.shape == (8, 8, 3)
+    assert np.isfinite(np.asarray(err)).all()
+    with pytest.raises(ValueError):
+        eng.render_image(state, grid, 0, stride=8, overlay="nope")
+
+
+def test_density_slice(trained):
+    eng, state, grid = trained
+    s = eng.render_density_slice(state, 0.5, resolution=16)
+    assert s.shape == (16, 16)
+    assert np.isfinite(s).all() and (s >= 0).all()
