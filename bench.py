@@ -121,6 +121,7 @@ def main():
         steps_per_s=round(measured / dt, 2),
         measured_steps=measured,
         measure_wall_s=round(dt, 2),
+        rays_per_s=round(measured * (engine.batch_size // engine._k) / dt, 1),
         final_k=engine._k,
         step_at_measure_end=int(state.step),
         phase="eval",

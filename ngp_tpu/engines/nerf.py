@@ -1036,9 +1036,21 @@ class NerfEngine:
 
     # -- the outer loop (Testbed::train + training_prep cadence)
 
-    def train(self, state, grid, n_steps: int, log_every: int = 0):
+    def train(self, state, grid, n_steps: int, log_every: int = 0,
+              metrics_file: str | None = None):
         """Run ``n_steps`` steps with interleaved occupancy updates. Returns
-        (state, grid, last_metrics)."""
+        (state, grid, last_metrics). Throughput/loss meters accumulate on
+        ``self.meters`` (SURVEY §5.1/§5.5); ``metrics_file`` appends JSONL
+        records at the sync cadence."""
+        import time as _time
+
+        from ngp_tpu.utils.meters import MetricsLogger, TrainMeters
+
+        if not hasattr(self, "meters") or self.meters is None:
+            self.meters = TrainMeters()
+        logger = MetricsLogger(metrics_file) if metrics_file else None
+        win_t0 = _time.monotonic()
+        win_steps = 0
         metrics = {}
         base_key = jax.random.PRNGKey(self.seed ^ 0x5EED)
         step0 = int(state.step)  # one sync at entry, then host-side counter
@@ -1065,14 +1077,40 @@ class NerfEngine:
                 self._emap_next_rebuild = step + self._emap_interval
             key = jax.random.fold_in(base_key, 2 * step)
             state, self._emap, metrics = self.train_step(state, grid, self._emap, key)
+            win_steps += 1
             if (step + 1) % self.adapt_every == 0:
+                # adapt_batch_geometry reads metrics → device sync; the
+                # window meters piggyback on it (no extra syncs).
+                loss_ema = self.meters.update_loss(float(metrics["loss"]))
+                now = _time.monotonic()
+                self.meters.update_window(
+                    win_steps,
+                    float(metrics["measured_samples"]) * win_steps,
+                    float(self.batch_size // self._k) * win_steps,
+                    now - win_t0,
+                )
+                if logger is not None:
+                    logger.log(
+                        step + 1,
+                        loss=float(metrics["loss"]),
+                        loss_ema=loss_ema,
+                        samples_per_s=self.meters.samples_per_s.value,
+                        rays_per_s=self.meters.rays_per_s.value,
+                        step_ms=self.meters.step_ms.value,
+                        k=self._k,
+                    )
                 self.adapt_batch_geometry(metrics)
+                win_t0 = _time.monotonic()
+                win_steps = 0
             if log_every and step % log_every == 0:
                 print(
                     f"step {step}: loss={float(metrics['loss']):.5f} "
                     f"samples={int(metrics['measured_samples'])} "
-                    f"k={self._k}"
+                    f"k={self._k} "
+                    f"({self.meters.samples_per_s.value/1e6:.2f} Msamples/s)"
                 )
+        if logger is not None:
+            logger.close()
         return state, grid, metrics
 
     # -- rendering
@@ -1291,6 +1329,8 @@ class NerfEngine:
         spp: int = 1,
         snap_to_pixel_centers: bool = True,
         seed: int = 0,
+        aperture_size: float = 0.0,
+        focus_z: float = 1.0,
     ):
         """Render an arbitrary camera view: ``xform`` (3,4) camera-to-world,
         ``focal`` (fx, fy) in pixels at the given resolution, ``pp``
@@ -1337,8 +1377,20 @@ class NerfEngine:
                 )
             dir_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
             d = dir_cam @ xform[:, :3].T
-            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             o = jnp.broadcast_to(xform[:, 3], (n, 3))
+            if aperture_size > 0.0:
+                # thin-lens DoF: jitter origins on the aperture disk, keep
+                # the focus plane sharp (uv_to_ray's aperture path,
+                # common_device.cuh:443-510); one disk sample per spp pass.
+                from ngp_tpu.geometry.camera import square2disk_shirley
+
+                au = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+                blur = aperture_size * square2disk_shirley(au * 2.0 - 1.0)
+                offset = blur[:, 0:1] * xform[:, 0] + blur[:, 1:2] * xform[:, 1]
+                lookat = o + d * focus_z
+                o = o + offset
+                d = (lookat - o) / focus_z
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             rgb, depth, opa = self.render_rays(state, grid, o, d)
             rgb_lin = srgb_to_linear(rgb) if self.rgb_act == "Logistic" else rgb
             acc_rgb = rgb_lin if acc_rgb is None else acc_rgb + rgb_lin
@@ -1379,7 +1431,7 @@ class NerfEngine:
 
         old_mt = self.min_transmittance_render
         self.min_transmittance_render = 1e-4  # reference eval setting
-        self._jit_cache.pop(("render", 1 << 16), None)
+        self._jit_cache.pop(("render", 1 << 16, "shade"), None)
         try:
             n_views = test_dataset.images.shape[0]
             if max_views is not None:
@@ -1432,7 +1484,7 @@ class NerfEngine:
             return res
         finally:
             self.min_transmittance_render = old_mt
-            self._jit_cache.pop(("render", 1 << 16), None)
+            self._jit_cache.pop(("render", 1 << 16, "shade"), None)
 
     def psnr(self, state, grid, image_index: int, stride: int = 1) -> float:
         """PSNR of a rendered training view vs the stored image, compared in
@@ -1472,6 +1524,32 @@ class NerfEngine:
         spacing = (hi - lo) / (n - 1)
         return marching_cubes(field, density_thresh, origin=lo, spacing=spacing)
 
+    def optimize_mesh_vertices(
+        self, state, verts, faces, n_steps: int = 10,
+        density_thresh: float = 2.5, learning_rate: float = 1e-4,
+        k_smooth: float = 2048.0, k_density: float = 128.0,
+        k_inflate: float = 1.0,
+    ):
+        """Differentiable mesh refinement against the raw density field —
+        the reference's ``optimize_mesh`` path (``MeshState`` trainable
+        verts + ``compute_mesh_opt_gradients``,
+        ``src/marching_cubes.cu:710-774``)."""
+        from ngp_tpu.ops.mesh_opt import optimize_mesh
+
+        params = self.inference_params(state)
+
+        def density_fn(v):
+            pos_w = self.aabb.relative_pos(v)
+            return self.network.density(
+                params["model"], pos_w, differentiable_inputs=True
+            )[:, 0]
+
+        return optimize_mesh(
+            density_fn, jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32), density_thresh, n_steps,
+            learning_rate, k_smooth, k_density, k_inflate,
+        )
+
     # -- snapshots (save_snapshot/load_snapshot, testbed.cu:4873-5057)
 
     def save_snapshot(self, path: str, state: TrainState, grid, include_optimizer=False):
@@ -1487,6 +1565,9 @@ class NerfEngine:
                 "density_grid": np.asarray(grid.density, np.float16),
                 "density_grid_mean": np.asarray(grid.mean_density),
                 "aabb_scale": self.aabb_scale,
+                # loss EMA restored like the reference (testbed.cu:5037-5038)
+                "loss_ema": getattr(self, "meters", None).loss_ema
+                if getattr(self, "meters", None) else 0.0,
             },
         }
         if include_optimizer:
@@ -1512,6 +1593,12 @@ class NerfEngine:
         grid = occ.OccupancyGridState(
             density, occ.build_bitfield(density, mean), mean, jnp.zeros([], jnp.int32)
         )
+        if "loss_ema" in snap:
+            from ngp_tpu.utils.meters import TrainMeters
+
+            self.meters = TrainMeters()
+            self.meters.loss_ema = float(snap["loss_ema"])
+            self.meters.n_loss_updates = 1
         return state, grid
 
     def save_reference_snapshot(self, path: str, state: TrainState, grid,

@@ -61,17 +61,22 @@ def grid_gather_blend(table: jax.Array, idx: jax.Array, w: jax.Array) -> jax.Arr
 
 
 def _ggb_fwd(table, idx, w):
-    return grid_gather_blend(table, idx, w), (table.shape, idx, w)
+    # dtype carried as a zero-size array (residual leaves must be arrays)
+    proto = jnp.zeros((0,), table.dtype)
+    return grid_gather_blend(table, idx, w), (table.shape, proto, idx, w)
 
 
 def _ggb_bwd(res, g):
     from ngp_tpu.ops.scatter_free import batched_segment_sum
 
-    (L, T, F), idx, w = res
+    (L, T, F), proto, idx, w = res
+    tdtype = proto.dtype
     keys = idx.reshape(L, -1)  # (L, N·C), already per-level row indices
-    # per (l, n, c): value vector w·g[l,n,:]  -> (L, N·C, F)
-    vals = (w[..., None] * g[:, :, None, :]).reshape(L, -1, F)
-    return batched_segment_sum(keys, vals, T), None, None
+    # per (l, n, c): value vector w·g[l,n,:]  -> (L, N·C, F); accumulate in
+    # fp32 regardless of the table's gather dtype (tcnn accumulates fp16
+    # with loss scaling; fp32-accumulate-then-cast is strictly tighter)
+    vals = (w[..., None] * g[:, :, None, :]).astype(jnp.float32).reshape(L, -1, F)
+    return batched_segment_sum(keys, vals, T).astype(tdtype), None, None
 
 
 grid_gather_blend.defvjp(_ggb_fwd, _ggb_bwd)
@@ -180,6 +185,10 @@ class GridEncoding(Encoding):
     per_level_scale: float = 2.0
     grid_type: str = "Hash"  # "Hash" | "Dense" | "Tiled"
     interpolation: str = "Linear"
+    # Gather the table rows at this dtype ("bfloat16" halves the bytes the
+    # HBM row gather moves; master params stay fp32 in the optimizer, like
+    # tcnn's fp32 master + fp16 inference split, SURVEY §2.10).
+    gather_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.n_input_dims in (2, 3), "grid encoding supports 2D/3D"
@@ -337,6 +346,8 @@ class GridEncoding(Encoding):
                 )
                 out2 = jnp.where(mask[None, :], out2, 0.0)
             return out2
+        if self.gather_dtype == "bfloat16" and not differentiable_inputs:
+            table = table.astype(jnp.bfloat16)
         idx, w = self.indices_and_weights(x)
         if differentiable_inputs:
             # mode="clip": the default out-of-bounds fill is NaN, and

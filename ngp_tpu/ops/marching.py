@@ -157,25 +157,28 @@ def march_rays(
     mip = mip_from_dt(dt, pos, max_mip, G)
     occ = occupied_at(bitfield, pos, mip) & before_exit
 
-    cnt = jnp.cumsum(occ.astype(jnp.int32), axis=1)
-    # Compact the first K occupied lattice points per ray with an
-    # output-driven binary search over the monotone count (XLA scatter
-    # serializes on TPU; gathers don't): slot k holds the lattice index of
-    # the (k+1)-th occupied point.
-    k_plus1 = jnp.arange(1, n_samples + 1, dtype=jnp.int32)[None, :]  # (1, K)
-    lo = jnp.zeros((N, n_samples), jnp.int32)
-    hi = jnp.full((N, n_samples), n_lattice, jnp.int32)
-    for _ in range(max(n_lattice - 1, 1).bit_length()):
-        mid = (lo + hi) // 2
-        c_mid = jnp.take_along_axis(cnt, mid, axis=1)
-        go_right = c_mid < k_plus1
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    sel = jnp.minimum(lo, n_lattice - 1)
+    # Compact the first K occupied lattice points per ray with ONE
+    # unstable per-row sort of self-indexing keys (occupied points keep
+    # their lattice index, empty ones are pushed past n_lattice), then two
+    # row gathers for (t, dt). Replaces an 11-round binary search whose
+    # serialized take_along_axis gathers dominated march time (XLA scatter
+    # AND repeated small gathers both serialize on TPU; one sort doesn't).
+    lat = jnp.broadcast_to(
+        jnp.arange(n_lattice, dtype=jnp.int32)[None, :], occ.shape
+    )
+    keys = jnp.where(occ, lat, lat + n_lattice)  # (N, M)
+    if n_samples > n_lattice:  # tiny scenes: fewer lattice points than slots
+        keys = jnp.pad(
+            keys, ((0, 0), (0, n_samples - n_lattice)),
+            constant_values=2 * n_lattice,
+        )
+    (keys_sorted,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
+    head = keys_sorted[:, :n_samples]  # first K occupied, in march order
+    sel = jnp.minimum(head, n_lattice - 1)
 
     t_c = jnp.take_along_axis(t, sel, axis=1)
     dt_c = jnp.take_along_axis(dt, sel, axis=1)
-    total = cnt[:, -1]
+    total = jnp.sum(occ.astype(jnp.int32), axis=1)
     kept = jnp.minimum(total, n_samples)
     valid = jnp.arange(n_samples)[None, :] < kept[:, None]
     complete = exited & (total <= n_samples)

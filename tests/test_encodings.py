@@ -189,3 +189,29 @@ def test_grid_gather_blend_backward_matches_scatter_add():
         ),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_hashgrid_bf16_gather_matches_f32():
+    """gather_dtype='bfloat16' forward/backward ≈ fp32 path (the fp32
+    master / low-precision gather split, SURVEY §2.10)."""
+    kw = dict(n_levels=4, n_features_per_level=2, base_resolution=4,
+              log2_hashmap_size=10, per_level_scale=1.5)
+    enc32 = GridEncoding(**kw)
+    enc16 = GridEncoding(gather_dtype="bfloat16", **kw)
+    params = enc32.init(jax.random.PRNGKey(3))
+    # bump magnitudes so bf16 quantization is visible but small
+    params = {"table": params["table"] * 1e4}
+    x = jax.random.uniform(jax.random.PRNGKey(4), (64, 3))
+    o32 = enc32(params, x)
+    o16 = enc16(params, x)
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
+                               rtol=1e-2, atol=1e-2)
+    g32 = jax.grad(lambda t: jnp.sum(enc32({"table": t}, x) ** 2))(
+        params["table"]
+    )
+    g16 = jax.grad(lambda t: jnp.sum(enc16({"table": t}, x) ** 2))(
+        params["table"]
+    )
+    assert g16.dtype == jnp.float32  # cast back through the astype
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               rtol=0.05, atol=0.05)

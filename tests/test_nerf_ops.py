@@ -369,3 +369,25 @@ def test_training_loss_grads_match_reference_formula():
     got = np.asarray(jax.grad(loss_of)(jnp.asarray(raw)))
     want = _reference_grads(raw, dt, t_mid, valid, complete, bg, target, N)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_march_more_slots_than_lattice():
+    """K > M (tiny scenes / few lattice points): compaction must pad, not
+    truncate — regression for the sorted-key compaction."""
+    G = 8
+    cfg = occ.OccupancyGridConfig(grid_size=G, n_cascades=1)
+    density = np.full((1, G, G, G), 0.02, np.float32)
+    bitfield = np.asarray(
+        occ.build_bitfield(jnp.asarray(density), jnp.asarray(1.0))
+    )
+    stepping = SteppingSpace.make(0.0)
+    o = jnp.asarray([[0.1, 0.5, 0.5]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    n0 = jnp.asarray([0.5])
+    M, K = 66, 256  # fewer lattice points than sample slots
+    m = march_rays(o, d, jnp.asarray(bitfield), jnp.zeros(3), jnp.ones(3),
+                   stepping, n0, M, K, cfg.max_mip)
+    assert m.t.shape == (1, K)
+    n = int(m.n_samples[0])
+    assert 0 < n <= M
+    assert bool(jnp.all(m.valid[0, :n])) and not bool(jnp.any(m.valid[0, n:]))

@@ -44,3 +44,17 @@ def test_density_slice(trained):
     s = eng.render_density_slice(state, 0.5, resolution=16)
     assert s.shape == (16, 16)
     assert np.isfinite(s).all() and (s >= 0).all()
+
+
+def test_render_view_dof(trained):
+    eng, state, grid = trained
+    xf = np.asarray(eng.data.xforms[0])
+    f = np.asarray(eng.data.focals[0])
+    sharp, _, _ = eng.render_view(state, grid, xf, f, width=16, height=16)
+    blurred, _, _ = eng.render_view(
+        state, grid, xf, f, width=16, height=16, spp=4,
+        snap_to_pixel_centers=False, aperture_size=0.05, focus_z=0.8,
+    )
+    assert blurred.shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(blurred)).all()
+    assert not np.allclose(np.asarray(sharp), np.asarray(blurred), atol=1e-4)
