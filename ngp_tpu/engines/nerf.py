@@ -303,6 +303,10 @@ class NerfEngine:
         )
         self.stepping = SteppingSpace.make(self.cone_angle, min_step, max_step)
         self.aabb = AABB.from_scale(float(aabb_scale))
+        # Render crop box (m_render_aabb; dataset "render_aabb" key or the
+        # crop-box GUI gizmo). None = full scene AABB. Mutable at runtime —
+        # it rides into the jitted render as an argument, not a constant.
+        self.render_aabb = getattr(ds, "render_aabb", None)
         # Lattice length: worst case is a ray entering at t=0 and crossing
         # the full AABB diagonal.
         diag = occ.SQRT3 * aabb_scale
@@ -1118,7 +1122,8 @@ class NerfEngine:
     def inference_params(self, state: TrainState):
         return state.ema.params if self.ema_decay is not None else state.params
 
-    def _render_chunk(self, params, bitfield, origins, dirs, mode: str = "shade"):
+    def _render_chunk(self, params, bitfield, origins, dirs, crop_min,
+                      crop_max, mode: str = "shade"):
         """One fixed-size chunk of rays → (rgb, depth, opacity).
 
         ``mode`` selects the reference's debug render modes
@@ -1126,9 +1131,14 @@ class NerfEngine:
         ``composite_kernel_nerf``, ``testbed_nerf.cu:1024-1230``):
         ``shade`` (default), ``depth``, ``normals`` (composited
         −∇σ/|∇σ|), ``positions``, ``cost`` (march-step count heat), ``ao``
-        (accumulated opacity)."""
+        (accumulated opacity).
+
+        ``crop_min``/``crop_max`` is the render crop box — the reference's
+        ``m_render_aabb`` (crop-box gizmo / ``render_aabb`` dataset key):
+        rays march only inside its intersection with the scene AABB."""
         tmin, _ = ray_aabb_range(origins, dirs, self.aabb.min, self.aabb.max)
-        n0 = self.stepping.to_steps(tmin + 1e-4)
+        tcmin, tcmax = ray_aabb_range(origins, dirs, crop_min, crop_max)
+        n0 = self.stepping.to_steps(jnp.maximum(tmin, tcmin) + 1e-4)
         marched = march_rays(
             origins,
             dirs,
@@ -1140,6 +1150,9 @@ class NerfEngine:
             self.n_lattice,
             self.n_render_samples,
             self.grid_cfg.max_mip,
+        )
+        marched = marched._replace(
+            valid=marched.valid & (marched.t <= tcmax[:, None])
         )
         N, K = marched.t.shape
         pos = origins[:, None, :] + dirs[:, None, :] * marched.t[..., None]
@@ -1228,6 +1241,13 @@ class NerfEngine:
             fn = jax.jit(partial(self._render_chunk, mode=mode))
             self._jit_cache[("render", chunk, mode)] = fn
         params = self.inference_params(state)
+        crop = getattr(self, "render_aabb", None)
+        cmin = jnp.asarray(
+            crop[0] if crop is not None else self.aabb.min, jnp.float32
+        )
+        cmax = jnp.asarray(
+            crop[1] if crop is not None else self.aabb.max, jnp.float32
+        )
         n = origins.shape[0]
         rgbs, depths, opas = [], [], []
         for s in range(0, n, chunk):
@@ -1237,7 +1257,7 @@ class NerfEngine:
             if pad:
                 o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)], 0)
                 d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], 0)
-            rgb, dep, opa = fn(params, grid.bitfield, o, d)
+            rgb, dep, opa = fn(params, grid.bitfield, o, d, cmin, cmax)
             take = chunk - pad
             rgbs.append(rgb[:take])
             depths.append(dep[:take])

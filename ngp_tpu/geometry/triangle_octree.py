@@ -139,6 +139,19 @@ class TriangleOctree:
         nodes are "one layer deeper" than regular nodes)."""
         assert max_depth >= 2 and max_depth <= 11
         tris = np.asarray(triangles, np.float64)
+
+        # Prefer the native C++ refinement (native/ngp_host.cpp — same SAT
+        # tests and dedup order, identical output, threaded).
+        from ngp_tpu import native
+
+        nat = native.octree_build(tris, max_depth)
+        if nat is not None:
+            codes_nat, verts_nat, n_vertices = nat
+            return TriangleOctree._finish(
+                max_depth, [c.astype(np.int64) for c in codes_nat],
+                verts_nat, n_vertices, dt_max_res,
+            )
+
         tmin = tris.min(1)
         tmax = tris.max(1)
 
@@ -196,16 +209,27 @@ class TriangleOctree:
             )
             n_vertices += len(uniq)
 
+        return TriangleOctree._finish(
+            max_depth, codes_per_depth, verts_per_depth, n_vertices, dt_max_res
+        )
+
+    @staticmethod
+    def _finish(max_depth, codes_per_depth, verts_per_depth, n_vertices,
+                dt_max_res) -> "TriangleOctree":
+        from ngp_tpu import native
+
         dt_depth = min(max_depth - 1, int(np.log2(dt_max_res)))
         G = 1 << dt_depth
         occ = np.zeros((G, G, G), bool)
-        c = codes_per_depth[dt_depth]
+        c = np.asarray(codes_per_depth[dt_depth], np.int64)
         occ[c >> (2 * dt_depth), (c >> dt_depth) & (G - 1), c & (G - 1)] = True  # [z,y,x]
-        dist = _chessboard_distance(occ)
+        dist = native.chessboard_dt(occ)
+        if dist is None:
+            dist = _chessboard_distance(occ)
 
         return TriangleOctree(
             max_depth=max_depth,
-            codes=tuple(c.astype(np.int32) for c in codes_per_depth),
+            codes=tuple(np.asarray(c, np.int32) for c in codes_per_depth),
             verts=tuple(verts_per_depth),
             n_vertices=n_vertices,
             distance_field=dist.astype(np.int32),

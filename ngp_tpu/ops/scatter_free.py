@@ -24,8 +24,82 @@ zero all but each run's first row, then sum.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def blocked_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
+    """Inclusive cumsum along the last axis with O(n) memory traffic.
+
+    XLA lowers big cumsums on TPU to a log-depth shifted-add ladder
+    (~log2(n) full passes over the array — measured ~48 ms for a
+    (16, 2M) fp32 cumsum on v5e). This version does one in-block prefix
+    as a triangular matmul on the MXU, a tiny recursive scan over the
+    block totals, and one broadcast add: ~3 linear passes total.
+
+    ``x`` (..., N) float32; returns the same shape/dtype.
+    """
+    *lead, n = x.shape
+    if n <= block * 4:
+        return jnp.cumsum(x, axis=-1)
+    pad = (-n) % block
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)])
+    nb = (n + pad) // block
+    xb = x.reshape(*lead, nb, block)
+    # in-block inclusive prefix: xb @ upper-triangular ones (MXU)
+    tri = jnp.triu(jnp.ones((block, block), x.dtype))
+    # HIGHEST: TPU fp32 dots default to one-pass bf16 rounding, which
+    # would poison the later diff-of-cumsums (catastrophic cancellation
+    # against the running total); 3-pass keeps true fp32 accuracy.
+    pre = jax.lax.dot_general(
+        xb, tri, (((xb.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(x.dtype)
+    # block offsets: exclusive scan of the block totals (nb ≈ n/128 —
+    # small enough that XLA's ladder is cheap; recurse for huge n)
+    totals = pre[..., -1]
+    off = blocked_cumsum(totals, block) - totals
+    out = pre + off[..., None]
+    return out.reshape(*lead, n + pad)[..., :n] if pad else out.reshape(*lead, n)
+
+
+def _pack_bf16_pairs(cols: list[jax.Array]) -> list[jax.Array]:
+    """Pack pairs of float32 arrays into int32 arrays via bf16 bit-halves
+    (sort payload compression: the TPU sort's cost scales with the number
+    of operand columns it moves)."""
+    out = []
+    for i in range(0, len(cols) - 1, 2):
+        lo = jax.lax.bitcast_convert_type(
+            cols[i].astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            cols[i + 1].astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        out.append((lo | (hi << 16)).astype(jnp.int32))
+    if len(cols) % 2:
+        lo = jax.lax.bitcast_convert_type(
+            cols[-1].astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        out.append(lo.astype(jnp.int32))
+    return out
+
+
+def _unpack_bf16_pairs(packed: list[jax.Array], n: int) -> list[jax.Array]:
+    out = []
+    for p in packed:
+        u = p.astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            (u >> 16).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        out.extend([lo, hi])
+    return out[:n]
 
 
 def dense_segment_sum(keys: jax.Array, vals: jax.Array, n_segments: int) -> jax.Array:
@@ -47,7 +121,7 @@ def dense_segment_sum(keys: jax.Array, vals: jax.Array, n_segments: int) -> jax.
 
     s = jax.lax.sort((comb_keys, comb_flag, *comb_vals), num_keys=2, is_stable=True)
     flag_sorted = s[1]
-    cs = [jnp.cumsum(v) for v in s[2:]]
+    cs = [blocked_cumsum(v) for v in s[2:]]
 
     # Compact slot rows (in key order) to the front; stable keeps order.
     s2 = jax.lax.sort((1 - flag_sorted, *cs), num_keys=1, is_stable=True)
@@ -57,10 +131,11 @@ def dense_segment_sum(keys: jax.Array, vals: jax.Array, n_segments: int) -> jax.
 
 
 def batched_segment_sum(
-    keys: jax.Array, vals: jax.Array, n_segments: int
+    keys: jax.Array, vals: jax.Array, n_segments: int,
+    payload_dtype: str | None = None,
 ) -> jax.Array:
     """Batched scatter-free segment sum: ``keys`` (L, M) int32 ∈
-    [0, n_segments), ``vals`` (L, M, F) → (L, n_segments, F).
+    [0, n_segments), ``vals`` (L, M, F) → (L, n_segments, F) float32.
 
     Same slot-sentinel construction as :func:`dense_segment_sum`, but the
     L batches sort independently along the last axis — much cheaper than
@@ -68,19 +143,31 @@ def batched_segment_sum(
     log²(L·(M+T)), and better VMEM blocking). Measured on v5e: the global
     2-sort pipeline at L=16, M=2^21 costs ~500 ms; this form ~130 ms.
 
-    Two further savings vs the global path:
+    Further savings vs the global path (the TPU sort's cost scales with
+    the number of operand columns it moves):
 
     - sort 1 uses a *combined* key ``2·key + is_slot`` (single int32, no
       second key column) with an unstable sort — TPU's bitonic sort is
       deterministic, and within one (key, flag) run the payload order only
       permutes the fp addition order of the cumsum;
-    - sort 2 (slot extraction) carries only int32 positions, not the F
-      float payload columns; the payload cumsums are then *gathered* at
-      the slot positions (T rows per level, ~free) instead of sorted.
+    - with ``payload_dtype="bfloat16"`` (the default; env override
+      ``NGP_TPU_SEGSUM_PAYLOAD=float32``) pairs of payload columns ride
+      the sort packed as bf16 halves of one int32 column; accumulation
+      stays fp32 after the sort. The reference accumulates these same
+      gradients as fp16 atomics with a 128× loss scale (tcnn grid
+      backward, SURVEY §2.10) — bf16-quantized addends with fp32
+      accumulation is the same precision class;
+    - sort 2 (slot extraction) is one single-operand unstable int sort:
+      flag and position packed into one key, payload cumsums *gathered*
+      at the slot positions as F-wide rows;
+    - the cumsums run through :func:`blocked_cumsum` (one MXU triangular
+      matmul + a small scan) instead of XLA's log-depth ladder.
     """
     L, M = keys.shape
     F = vals.shape[-1]
     T = n_segments
+    if payload_dtype is None:
+        payload_dtype = os.environ.get("NGP_TPU_SEGSUM_PAYLOAD", "bfloat16")
 
     slot_keys = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (L, T))
     comb = jnp.concatenate(
@@ -88,23 +175,34 @@ def batched_segment_sum(
     )  # (L, M+T)
     zpad = jnp.zeros((L, T), vals.dtype)
     cols = [jnp.concatenate([vals[:, :, f], zpad], axis=1) for f in range(F)]
+    if payload_dtype == "bfloat16":
+        cols = _pack_bf16_pairs(cols)
 
     s = jax.lax.sort((comb, *cols), num_keys=1, is_stable=False)
     comb_sorted = s[0]
-    cs = [jnp.cumsum(c, axis=1) for c in s[1:]]
+    sorted_cols = (
+        _unpack_bf16_pairs(list(s[1:]), F)
+        if payload_dtype == "bfloat16"
+        else list(s[1:])
+    )
+    cs = jnp.stack(
+        [blocked_cumsum(c) for c in sorted_cols], axis=-1
+    )  # (L, M+T, F)
 
-    # Positions of the slot rows, in key order: stable int-only flag sort
-    # (slots carry odd combined keys; flag 0 sorts them to the front).
-    is_data = jnp.logical_not(comb_sorted & 1).astype(jnp.int32)
+    # Positions of the slot rows, in key order. Slots carry odd combined
+    # keys; giving them keys < M+T and data keys ≥ M+T, one single-operand
+    # unstable sort leaves the slot positions (already pos-ordered within
+    # the slot class) as the first T entries.
     pos = jnp.broadcast_to(
         jnp.arange(M + T, dtype=jnp.int32)[None, :], (L, M + T)
     )
-    _, pos_sorted = jax.lax.sort((is_data, pos), num_keys=1, is_stable=True)
-    slot_pos = pos_sorted[:, :T]  # (L, T)
+    flagged_pos = jnp.where((comb_sorted & 1) == 1, pos, pos + (M + T))
+    (fp_sorted,) = jax.lax.sort((flagged_pos,), num_keys=1, is_stable=False)
+    slot_pos = fp_sorted[:, :T]  # (L, T)
 
-    slot_cs = jnp.stack(
-        [jnp.take_along_axis(c, slot_pos, axis=1) for c in cs], axis=-1
-    )  # (L, T, F)
+    slot_cs = jnp.take_along_axis(
+        cs, slot_pos[..., None], axis=1
+    )  # (L, T, F) — one F-wide row gather per slot, not F element gathers
     return jnp.diff(
         slot_cs, axis=1, prepend=jnp.zeros((L, 1, F), slot_cs.dtype)
     )

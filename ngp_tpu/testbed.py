@@ -277,6 +277,74 @@ class Testbed:
             self.state, loss = self.engine.train(self.state, n_steps)
             self.loss = float(loss)
 
+    # -- interactive heartbeat (Testbed::frame / train_and_render,
+    #    testbed.cu:3595-3759; dynamic resolution 3010-3089)
+
+    def frame(self, width: int = 512, height: int = 512,
+              target_fps: float = 20.0, n_train_steps: int = 16,
+              render: bool = True, **render_kw) -> dict:
+        """One headless heartbeat: a training chunk plus a render at
+        dynamic resolution targeting ``target_fps`` (the reference's
+        ``m_dynamic_res_target_fps``, ``testbed.h:578``).
+
+        TPU-first difference from the reference's continuous resolution
+        scale: the scale factor is quantized to powers of two, so each
+        resolution bucket is one compiled program — a continuously varying
+        render shape would recompile every frame. Returns a dict with the
+        image (when rendered), the resolution used, per-phase times, and
+        the loss EMA — everything the reference's GUI overlay reads.
+        """
+        import time as _time
+
+        t0 = _time.monotonic()
+        train_ms = render_ms = 0.0
+        if getattr(self, "shall_train", True) and self.state is not None:
+            ts = _time.monotonic()
+            self.train(n_train_steps)
+            train_ms = (_time.monotonic() - ts) * 1e3
+
+        img, res = None, (0, 0)
+        if render:
+            if not hasattr(self, "_dyn_res_log2"):
+                self._dyn_res_log2 = 2  # start at 1/4 res like a cold GUI
+            f = 1 << self._dyn_res_log2
+            w = max(width // f, 32)
+            h = max(height // f, 32)
+            rs = _time.monotonic()
+            img = self.render(w, h, **render_kw)
+            render_ms = (_time.monotonic() - rs) * 1e3
+            res = (w, h)
+            # adapt: a bucket step is a 4× pixel-count change, so switch
+            # only past a 4× margin (hysteresis keeps buckets stable)
+            budget_ms = 1000.0 / max(target_fps, 1e-3)
+            if render_ms > 2.0 * budget_ms and (w > 32 or h > 32):
+                self._dyn_res_log2 += 1
+            elif render_ms < 0.25 * budget_ms and self._dyn_res_log2 > 0:
+                self._dyn_res_log2 -= 1
+
+        frame_ms = (_time.monotonic() - t0) * 1e3
+        if not hasattr(self, "_frame_meters"):
+            from ngp_tpu.utils.meters import Ema
+
+            self._frame_meters = {
+                "frame_ms": Ema(0.5), "train_ms": Ema(0.5),
+                "render_ms": Ema(0.5),
+            }
+        for k, v in (("frame_ms", frame_ms), ("train_ms", train_ms),
+                     ("render_ms", render_ms)):
+            self._frame_meters[k].update(v)
+        loss_ema = None
+        m = getattr(self.engine, "meters", None)
+        if m is not None:
+            loss_ema = m.loss_ema
+        return {
+            "image": img, "resolution": res, "frame_ms": frame_ms,
+            "train_ms": train_ms, "render_ms": render_ms,
+            "frame_ms_ema": self._frame_meters["frame_ms"].value,
+            "training_step": self.training_step, "loss": self.loss,
+            "loss_ema": loss_ema,
+        }
+
     # -- dynamic dataset building (pyngp nerf.training surface,
     #    python_api.cu:set_camera_extrinsics/set_camera_intrinsics/set_image)
 
@@ -449,6 +517,26 @@ class Testbed:
         if self.mode == "image":
             return np.asarray(self.engine.render(self.state, width, height))
         raise ValueError(self.mode)
+
+    # -- render crop box (pyngp render_aabb / the GUI crop gizmo)
+
+    @property
+    def render_aabb(self):
+        """(min, max) crop box in NGP space, or None for the scene AABB
+        (``m_render_aabb``; pyngp ``render_aabb`` property)."""
+        assert self.mode == "nerf"
+        return self.engine.render_aabb
+
+    @render_aabb.setter
+    def render_aabb(self, box) -> None:
+        assert self.mode == "nerf"
+        if box is None:
+            self.engine.render_aabb = None
+        else:
+            mn, mx = box
+            self.engine.render_aabb = (
+                np.asarray(mn, np.float32), np.asarray(mx, np.float32)
+            )
 
     # -- evaluation
 

@@ -183,6 +183,28 @@ def main():
         e2._k = k
         run("no_compact", eng=e2)
 
+    # --- f32_payload: segment-sum payload rides the sort as fp32 columns
+    def _set_env():
+        os.environ["NGP_TPU_SEGSUM_PAYLOAD"] = "float32"
+
+    def _unset_env():
+        os.environ.pop("NGP_TPU_SEGSUM_PAYLOAD", None)
+
+    run("f32_payload", setup=_set_env, teardown=_unset_env)
+
+    # --- simplex: tetrahedral interpolation (4 table rows/sample, not 8).
+    # Same table shapes, so the pre-trained state carries over directly.
+    if want is None or "simplex" in want:
+        import copy as _copy
+        import json as _json
+
+        cfg2 = _json.loads(_json.dumps(_default_config()))
+        cfg2["encoding"]["interpolation"] = "Simplex"
+        e3 = NerfEngine(cfg2, dataset, batch_size=args.batch)
+        e3._k = k
+        e3.adapt_every = 10**9
+        run("simplex", eng=e3)
+
     # --- opt_only: apply_grads on real-shaped grads (scale varies per iter)
     if want is None or "opt_only" in want:
         key = jax.random.PRNGKey(5)

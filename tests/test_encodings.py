@@ -176,9 +176,21 @@ def test_grid_gather_blend_backward_matches_scatter_add():
         out = jnp.sum(feats * w[..., None], axis=2)
         return jnp.sum(out * g)
 
-    got = jax.grad(loss_custom)(table)
+    import os
+
+    os.environ["NGP_TPU_SEGSUM_PAYLOAD"] = "float32"
+    try:
+        got = jax.grad(loss_custom)(table)
+    finally:
+        del os.environ["NGP_TPU_SEGSUM_PAYLOAD"]
     want = jax.grad(loss_ref)(table)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5)
+    # default mode: addends ride the sort bf16-packed (tcnn accumulates
+    # the same gradients as fp16 atomics) — close, not bit-equal
+    got_bf = jax.grad(loss_custom)(table)
+    np.testing.assert_allclose(
+        np.asarray(got_bf), np.asarray(want), rtol=0.05, atol=0.05
+    )
     # forwards agree too
     np.testing.assert_allclose(
         np.asarray(grid_gather_blend(table, idx, w)),
@@ -215,3 +227,70 @@ def test_hashgrid_bf16_gather_matches_f32():
     assert g16.dtype == jnp.float32  # cast back through the astype
     np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
                                rtol=0.05, atol=0.05)
+
+
+def test_simplex_interpolation_properties():
+    """Simplex (Kuhn tetrahedral) interpolation: 4 corners, weights are a
+    partition of unity, and affine functions are reproduced exactly on a
+    dense level (linear interpolation on the Kuhn triangulation)."""
+    enc = GridEncoding(
+        n_levels=1, n_features_per_level=1, base_resolution=8,
+        log2_hashmap_size=16, grid_type="Dense", interpolation="Simplex",
+    )
+    # keep pos = x·scale+0.5 below r-1 so the dense boundary clamp (the
+    # top grid plane's +1 corner) stays out of play
+    x = jax.random.uniform(jax.random.PRNGKey(0), (512, 3), maxval=0.9)
+    idx, w = enc.indices_and_weights(x)
+    assert idx.shape == (1, 512, 4) and w.shape == (1, 512, 4)
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=-1)), 1.0, atol=1e-5)
+    assert float(jnp.min(w)) >= -1e-6
+    # affine reproduction: table[v] = a·pos(v) + b on the dense level
+    scales, res, _, _ = enc._level_geometry()
+    r = int(res[0])
+    grid = np.stack(np.meshgrid(*[np.arange(r)] * 3, indexing="ij"), -1)
+    lin = (grid * np.array([1, r, r * r])).sum(-1).reshape(-1)
+    posv = grid.reshape(-1, 3).astype(np.float32)
+    a, b = np.array([0.3, -0.7, 0.2], np.float32), 0.11
+    tbl = np.zeros((1, enc.max_table_rows, 1), np.float32)
+    tbl[0, lin, 0] = posv @ a + b
+    got = np.asarray(enc({"table": jnp.asarray(tbl)}, x))[:, 0]
+    pos = np.asarray(x) * float(scales[0]) + 0.5
+    want = pos @ a + b
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_simplex_continuity_across_cell_planes():
+    """The encoding must be C0 across lattice planes (the property the
+    windowed-gather designs break; simplex keeps it)."""
+    enc = GridEncoding(
+        n_levels=4, n_features_per_level=2, base_resolution=4,
+        log2_hashmap_size=10, per_level_scale=1.7, interpolation="Simplex",
+    )
+    params = enc.init(jax.random.PRNGKey(1))
+    params = {"table": params["table"] * 1e4}
+    scales, _, _, _ = enc._level_geometry()
+    # points straddling an exact lattice plane of the finest level
+    k = jnp.arange(1, 5, dtype=jnp.float32)
+    xplane = (k - 0.5) / float(scales[-1])  # pos = x*scale+0.5 = k
+    eps = 1e-6
+    lo = jnp.stack([xplane - eps, jnp.full_like(xplane, 0.33),
+                    jnp.full_like(xplane, 0.71)], -1)
+    hi = jnp.stack([xplane + eps, lo[:, 1], lo[:, 2]], -1)
+    dlt = np.abs(np.asarray(enc(params, lo)) - np.asarray(enc(params, hi)))
+    assert dlt.max() < 0.1  # continuous up to eps·scale·|df|
+
+
+def test_simplex_gradients_flow():
+    enc = GridEncoding(
+        n_levels=2, n_features_per_level=2, base_resolution=4,
+        log2_hashmap_size=8, interpolation="Simplex",
+    )
+    params = enc.init(jax.random.PRNGKey(2))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (64, 3))
+    g = jax.grad(lambda t: jnp.sum(enc({"table": t}, x) ** 2))(params["table"])
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.sum(g * g)) > 0
+    # input gradients via the differentiable path
+    gx = jax.grad(
+        lambda xx: jnp.sum(enc(params, xx, differentiable_inputs=True))
+    )(x)
+    assert np.isfinite(np.asarray(gx)).all()

@@ -58,3 +58,20 @@ def test_render_view_dof(trained):
     assert blurred.shape == (16, 16, 3)
     assert np.isfinite(np.asarray(blurred)).all()
     assert not np.allclose(np.asarray(sharp), np.asarray(blurred), atol=1e-4)
+
+
+def test_render_crop_box(trained):
+    """render_aabb crop (m_render_aabb / the crop gizmo): an empty crop
+    box renders pure background; restoring None renders the scene."""
+    eng, state, grid = trained
+    full = np.asarray(eng.render_image(state, grid, 0, stride=4))
+    eng.render_aabb = (np.full(3, 0.01, np.float32), np.full(3, 0.02, np.float32))
+    try:
+        eng._jit_cache.clear()
+        cropped = np.asarray(eng.render_image(state, grid, 0, stride=4))
+    finally:
+        eng.render_aabb = None
+        eng._jit_cache.clear()
+    bg = np.asarray(eng.background_color, np.float32)
+    assert np.allclose(cropped, bg[None, None, :], atol=1e-3)
+    assert not np.allclose(full, cropped, atol=1e-2)

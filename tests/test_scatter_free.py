@@ -26,15 +26,51 @@ def test_dense_segment_sum_matches_numpy(m, t, f):
 
 
 @pytest.mark.parametrize("l,m,t,f", [(3, 500, 64, 2), (1, 64, 256, 4), (5, 130, 8, 1)])
-def test_batched_segment_sum_matches_numpy(l, m, t, f):
+@pytest.mark.parametrize("payload", ["float32", "bfloat16"])
+def test_batched_segment_sum_matches_numpy(l, m, t, f, payload):
     rng = np.random.default_rng(1)
     keys = rng.integers(0, t, size=(l, m)).astype(np.int32)
     vals = rng.normal(size=(l, m, f)).astype(np.float32)
     ref = np.zeros((l, t, f), np.float32)
     for i in range(l):
         np.add.at(ref[i], keys[i], vals[i])
-    out = np.asarray(batched_segment_sum(jnp.asarray(keys), jnp.asarray(vals), t))
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    out = np.asarray(
+        batched_segment_sum(
+            jnp.asarray(keys), jnp.asarray(vals), t, payload_dtype=payload
+        )
+    )
+    if payload == "float32":
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    else:
+        # bf16-quantized addends (fp32 accumulation): per-addend relative
+        # error ≤ 2^-8; the sums see it scaled by the addend magnitudes.
+        tol = 2 ** -8 * np.abs(vals).sum(axis=1).max() + 1e-6
+        np.testing.assert_allclose(out, ref, atol=float(tol))
+
+
+def test_blocked_cumsum_matches_numpy():
+    from ngp_tpu.ops.scatter_free import blocked_cumsum
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 2000), (1, 127), (2, 4096), (3, 130)]:
+        x = rng.normal(size=shape).astype(np.float32)
+        got = np.asarray(blocked_cumsum(jnp.asarray(x)))
+        want = np.cumsum(x, axis=-1, dtype=np.float64).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_pack_roundtrip():
+    from ngp_tpu.ops.scatter_free import _pack_bf16_pairs, _unpack_bf16_pairs
+
+    rng = np.random.default_rng(8)
+    cols = [jnp.asarray(rng.normal(size=(3, 50)).astype(np.float32)) for _ in range(3)]
+    packed = _pack_bf16_pairs(cols)
+    assert len(packed) == 2 and all(p.dtype == jnp.int32 for p in packed)
+    out = _unpack_bf16_pairs(packed, 3)
+    for c, o in zip(cols, out):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(c.astype(jnp.bfloat16), np.float32)
+        )
 
 
 def test_batched_segment_sum_empty_segments():
@@ -55,7 +91,11 @@ def test_batched_matches_global():
     glob = np.asarray(
         dense_segment_sum(jnp.asarray(glob_keys), jnp.asarray(vals.reshape(-1, f)), l * t)
     ).reshape(l, t, f)
-    bat = np.asarray(batched_segment_sum(jnp.asarray(keys), jnp.asarray(vals), t))
+    bat = np.asarray(
+        batched_segment_sum(
+            jnp.asarray(keys), jnp.asarray(vals), t, payload_dtype="float32"
+        )
+    )
     np.testing.assert_allclose(bat, glob, rtol=1e-5, atol=1e-5)
 
 

@@ -96,3 +96,18 @@ def test_cli_sdf_end_to_end(tmp_path):
     assert iou > 0.75, r.stdout
     assert os.path.exists(out_mesh) and os.path.getsize(out_mesh) > 1000
     assert os.path.exists(snap)
+
+
+def test_frame_heartbeat(tmp_path):
+    """Headless frame(): train chunk + dynamic-res render + meters
+    (Testbed::frame / train_and_render, testbed.cu:3595-3759)."""
+    p = _small_image(tmp_path)
+    cfg = default_config("image")
+    cfg["encoding"].update({"n_levels": 4, "log2_hashmap_size": 10})
+    tb = Testbed(scene=p, config=cfg, batch_size=1 << 10)
+    out = tb.frame(width=64, height=64, n_train_steps=4)
+    assert out["image"] is not None
+    assert out["resolution"][0] >= 16 and out["frame_ms"] > 0
+    assert out["training_step"] >= 4
+    out2 = tb.frame(width=64, height=64, n_train_steps=4, render=False)
+    assert out2["image"] is None and out2["training_step"] >= 8
