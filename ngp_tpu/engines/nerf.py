@@ -1427,6 +1427,52 @@ class NerfEngine:
             (acc_opa / k).reshape(H, W),
         )
 
+    def render_view_foveated(
+        self, state, grid, xform, focal, foveation,
+        width: int | None = None, height: int | None = None,
+        buffer_scale: float = 0.5, pp=(0.5, 0.5),
+    ):
+        """Foveated render: cast rays for a ``buffer_scale``-sized render
+        buffer whose pixels are warped toward the foveation focus, then
+        resample to full resolution (the reference's foveation pipeline —
+        ``Foveation`` warp in ray generation,
+        ``init_rays_with_payload_kernel_nerf`` + display unwarp). Returns
+        (rgb (H, W, 3), buffer_resolution)."""
+        W = int(width if width is not None else self.resolution[0])
+        H = int(height if height is not None else self.resolution[1])
+        Wb = max(int(round(W * buffer_scale)), 16)
+        Hb = max(int(round(H * buffer_scale)), 16)
+        xform = jnp.asarray(xform, jnp.float32)
+        focal = jnp.asarray(focal, jnp.float32).reshape(2)
+        pp = jnp.asarray(pp, jnp.float32).reshape(2)
+
+        # buffer pixel grid -> full-image uv through the warp
+        bx, by = np.meshgrid(np.arange(Wb), np.arange(Hb))
+        uv_b = jnp.asarray(
+            np.stack([(bx + 0.5) / Wb, (by + 0.5) / Hb], -1).reshape(-1, 2),
+            jnp.float32,
+        )
+        uv = foveation.warp(uv_b)
+        n = uv.shape[0]
+        x = (uv[:, 0] - pp[0]) * W / focal[0]
+        y = (uv[:, 1] - pp[1]) * H / focal[1]
+        dir_cam = jnp.stack([x, y, jnp.ones_like(x)], -1)
+        d = dir_cam @ xform[:, :3].T
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.broadcast_to(xform[:, 3], (n, 3))
+        rgb, _, _ = self.render_rays(state, grid, o, d)
+        buf = rgb.reshape(Hb, Wb, 3)
+
+        # full-res pixel grid -> buffer coords through the inverse warp
+        fx, fy = np.meshgrid(np.arange(W), np.arange(H))
+        uv_full = jnp.asarray(
+            np.stack([(fx + 0.5) / W, (fy + 0.5) / H], -1).reshape(-1, 2),
+            jnp.float32,
+        )
+        uv_buf = foveation.unwarp(uv_full)
+        out = grid_at_lerp(buf, uv_buf).reshape(H, W, 3)
+        return out, (Wb, Hb)
+
     def eval_test_transforms(
         self,
         state,

@@ -169,6 +169,20 @@ def batched_segment_sum(
     if payload_dtype is None:
         payload_dtype = os.environ.get("NGP_TPU_SEGSUM_PAYLOAD", "bfloat16")
 
+    # Optional MXU strategy (NGP_TPU_SEGSUM_MXU=1): the one-hot matmul
+    # kernel (ops/pallas/segsum.py) — zero sort traffic, MACs ∝ M·T·F, so
+    # only sensible for bounded tables (NGP_TPU_SEGSUM_MXU_MAX_T).
+    if (
+        os.environ.get("NGP_TPU_SEGSUM_MXU") == "1"
+        and jax.default_backend() == "tpu"
+        and T <= int(os.environ.get("NGP_TPU_SEGSUM_MXU_MAX_T", 1 << 19))
+    ):
+        from ngp_tpu.ops.pallas.segsum import segment_sum_onehot
+
+        return jnp.stack(
+            [segment_sum_onehot(keys[l], vals[l], T) for l in range(L)]
+        )
+
     slot_keys = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (L, T))
     comb = jnp.concatenate(
         [keys.astype(jnp.int32) * 2, slot_keys * 2 + 1], axis=1

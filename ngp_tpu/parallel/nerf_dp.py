@@ -154,7 +154,14 @@ def build_dp_render(engine: NerfEngine, mesh: Mesh, axis: str = DATA_AXIS):
     opacity)`` with rays sharded over the mesh (pure map)."""
 
     def core(params, bitfield, origins, dirs):
-        return engine._render_chunk(params, bitfield, origins, dirs)
+        crop = getattr(engine, "render_aabb", None)
+        cmin = jnp.asarray(
+            crop[0] if crop is not None else engine.aabb.min, jnp.float32
+        )
+        cmax = jnp.asarray(
+            crop[1] if crop is not None else engine.aabb.max, jnp.float32
+        )
+        return engine._render_chunk(params, bitfield, origins, dirs, cmin, cmax)
 
     fn = jax.shard_map(
         core,
