@@ -89,6 +89,26 @@ class NerfDataset:
     def n_images(self) -> int:
         return self.images.shape[0]
 
+    def subset(self, indices) -> "NerfDataset":
+        """A view of the dataset restricted to ``indices`` (train/holdout
+        splits — the upstream workflow's separate test_transforms.json,
+        without needing a second file)."""
+        import dataclasses
+
+        idx = np.asarray(indices, np.int64)
+        return dataclasses.replace(
+            self,
+            images=self.images[idx],
+            xforms=self.xforms[idx],
+            focal_lengths=self.focal_lengths[idx],
+            principal_points=self.principal_points[idx],
+            paths=[self.paths[i] for i in idx] if self.paths else [],
+            depths=self.depths[idx] if self.depths is not None else None,
+            sharpness=(
+                self.sharpness[idx] if self.sharpness is not None else None
+            ),
+        )
+
     def nerf_direction_to_ngp(self, d: np.ndarray) -> np.ndarray:
         return d[..., [1, 2, 0]]
 

@@ -147,10 +147,17 @@ class SdfEngine:
     # -- training loop (train_sdf + training_prep_sdf)
 
     def train(self, state: TrainState, n_steps: int, log_every: int = 0):
+        import time as _time
+
+        from ngp_tpu.utils.meters import TrainMeters
+
+        if not hasattr(self, "meters") or self.meters is None:
+            self.meters = TrainMeters()
         key = jax.random.PRNGKey(self.seed ^ 0xD15)
         pos = dist = None
         metrics = None
         step0 = int(state.step)
+        t0 = _time.monotonic()
         for step in range(step0, step0 + n_steps):
             if self.override_training_data is not None:
                 pos, dist = self.override_training_data
@@ -165,6 +172,12 @@ class SdfEngine:
             metrics = loss
             if log_every and step % log_every == 0:
                 print(f"sdf step {step}: loss={float(loss):.6f}")
+        if metrics is not None and n_steps > 0:
+            self.meters.update_loss(float(metrics))  # one sync per call
+            self.meters.update_window(
+                n_steps, float(self.batch_size) * n_steps, 0.0,
+                _time.monotonic() - t0,
+            )
         return state, metrics
 
     # -- evaluation (calculate_iou)

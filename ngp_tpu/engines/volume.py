@@ -232,13 +232,26 @@ class VolumeEngine:
         if fn is None:
             fn = jax.jit(self._train_step, donate_argnums=0)
             self._jit["train_step"] = fn
+        import time as _time
+
+        from ngp_tpu.utils.meters import TrainMeters
+
+        if not hasattr(self, "meters") or self.meters is None:
+            self.meters = TrainMeters()
         key = jax.random.PRNGKey(self.seed ^ 0x701)
         loss = None
         step0 = int(state.step)
+        t0 = _time.monotonic()
         for step in range(step0, step0 + n_steps):
             state, loss = fn(state, jax.random.fold_in(key, step))
             if log_every and step % log_every == 0:
                 print(f"volume step {step}: loss={float(loss):.5f}")
+        if loss is not None and n_steps > 0:
+            self.meters.update_loss(float(loss))  # one sync per call
+            self.meters.update_window(
+                n_steps, float(self.batch_size) * n_steps, 0.0,
+                _time.monotonic() - t0,
+            )
         return state, loss
 
     # -- rendering

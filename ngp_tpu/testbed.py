@@ -222,6 +222,10 @@ class Testbed:
             from ngp_tpu.engines.nerf import NerfEngine
 
             ds = load_nerf(self.scene)
+            # frame_subset: train on a subset of views (holdout eval)
+            subset = kw.get("frame_subset")
+            if subset is not None:
+                ds = ds.subset(subset)
             self.engine = NerfEngine(
                 cfg, ds, **{k: v for k, v in kw.items() if k in fields_of(NerfEngine)}
             )

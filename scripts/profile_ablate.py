@@ -192,6 +192,15 @@ def main():
 
     run("f32_payload", setup=_set_env, teardown=_unset_env)
 
+    # --- mxu_segsum: the one-hot matmul gradient kernel (pallas/segsum.py)
+    def _set_mxu():
+        os.environ["NGP_TPU_SEGSUM_MXU"] = "1"
+
+    def _unset_mxu():
+        os.environ.pop("NGP_TPU_SEGSUM_MXU", None)
+
+    run("mxu_segsum", setup=_set_mxu, teardown=_unset_mxu)
+
     # --- simplex: tetrahedral interpolation (4 table rows/sample, not 8).
     # Same table shapes, so the pre-trained state carries over directly.
     if want is None or "simplex" in want:

@@ -74,6 +74,10 @@ def main(argv=None):
     p.add_argument("--test_view", type=int, default=0,
                    help="training view index for NeRF PSNR eval / screenshot")
     p.add_argument("--eval_stride", type=int, default=2)
+    p.add_argument("--holdout_every", type=int, default=0,
+                   help="exclude every Nth view from training and report "
+                        "held-out PSNR/SSIM on them (no separate "
+                        "test_transforms.json needed)")
     p.add_argument("--test_transforms", default=None,
                    help="held-out transforms.json: render every view and "
                         "report PSNR/SSIM (reference run.py:208-266)")
@@ -108,11 +112,31 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
+    # Multi-process rendezvous when launched as part of a pod job (env
+    # NGP_COORDINATOR/NGP_NUM_PROCESSES/NGP_PROCESS_ID or TPU-pod
+    # autodetect via NGP_AUTO_DISTRIBUTED; no-op single-process).
+    from ngp_tpu.parallel import multihost
+
+    multihost.initialize()
+
     from ngp_tpu.testbed import Testbed
 
     kw = {"seed": args.seed}
     if args.batch_size:
         kw["batch_size"] = args.batch_size
+    holdout_ds = None
+    if args.holdout_every and args.holdout_every > 1:
+        from ngp_tpu.data.nerf_loader import load_nerf
+
+        full_ds = load_nerf(args.scene if not os.path.isdir(args.scene)
+                            else os.path.join(args.scene, "transforms.json"))
+        all_idx = list(range(full_ds.n_images))
+        test_idx = all_idx[:: args.holdout_every]
+        train_idx = [i for i in all_idx if i not in set(test_idx)]
+        holdout_ds = full_ds.subset(test_idx)
+        kw["frame_subset"] = train_idx
+        print(f"holdout: training on {len(train_idx)} views, "
+              f"evaluating on {len(test_idx)}")
     tb = Testbed(mode=args.mode, scene=args.scene or None,
                  config=args.network, **kw)
 
@@ -147,17 +171,22 @@ def main(argv=None):
         mse = tb.compute_image_mse()
         print(f"MSE: {mse:.6f}  PSNR: {-10 * __import__('math').log10(max(mse, 1e-12)):.2f} dB")
 
-    if args.test_transforms:
-        from ngp_tpu.data.nerf_loader import load_nerf
+    if args.test_transforms or holdout_ds is not None:
+        if args.test_transforms:
+            from ngp_tpu.data.nerf_loader import load_nerf
 
-        test_ds = load_nerf(args.test_transforms)
+            test_ds = load_nerf(args.test_transforms)
+            label = "test_transforms"
+        else:
+            test_ds = holdout_ds
+            label = f"holdout(every {args.holdout_every})"
         res = tb.engine.eval_test_transforms(
             tb.state, tb.grid, test_ds,
             spp=args.test_spp, stride=args.eval_stride,
             max_views=args.test_max_views, compute_flip=args.flip,
         )
         flip_str = f" FLIP={res['flip']:.4f}" if args.flip else ""
-        print(f"test_transforms: PSNR={res['psnr']:.2f} "
+        print(f"{label}: PSNR={res['psnr']:.2f} "
               f"[min={res['min_psnr']:.2f} max={res['max_psnr']:.2f}] "
               f"SSIM={res['ssim']:.4f}{flip_str} over {res['n_views']} views")
 

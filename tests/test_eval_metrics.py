@@ -87,3 +87,19 @@ def test_eval_test_transforms_self(trained_engine):
     assert res["min_psnr"] <= res["psnr"] <= res["max_psnr"]
     assert 0.0 < res["ssim"] <= 1.0
     assert res["psnr"] > 10.0
+
+
+def test_dataset_subset_holdout():
+    """NerfDataset.subset powers run.py --holdout_every (train/test split
+    without a separate transforms file)."""
+    from __graft_entry__ import _tiny_sphere_dataset
+
+    ds = _tiny_sphere_dataset(n_views=8, res=16)
+    test_idx = [0, 4]
+    train_idx = [i for i in range(8) if i not in test_idx]
+    tr = ds.subset(train_idx)
+    te = ds.subset(test_idx)
+    assert tr.n_images == 6 and te.n_images == 2
+    np.testing.assert_array_equal(te.images[1], ds.images[4])
+    np.testing.assert_array_equal(tr.xforms[0], ds.xforms[1])
+    assert tr.resolution == ds.resolution and tr.aabb_scale == ds.aabb_scale
