@@ -84,6 +84,8 @@ class NerfDataset:
     sharpness: np.ndarray | None = None
     rolling_shutter: tuple = (0.0, 0.0, 0.0, 0.0)  # (offset, sx, sy, duration)
     envmap: np.ndarray | None = None  # (He, We, 4) float32 latlong HDR
+    rays: np.ndarray | None = None  # (N, H, W, 6) NGP-space per-pixel o+d
+    # (light-field datasets, rays_<name>.dat — src/nerf_loader.cu:623-645)
 
     @property
     def n_images(self) -> int:
@@ -107,6 +109,7 @@ class NerfDataset:
             sharpness=(
                 self.sharpness[idx] if self.sharpness is not None else None
             ),
+            rays=self.rays[idx] if self.rays is not None else None,
         )
 
     def nerf_direction_to_ngp(self, d: np.ndarray) -> np.ndarray:
@@ -321,6 +324,38 @@ def load_nerf(path: str, sharpen: float = 0.0) -> NerfDataset:
     rs = top.get("rolling_shutter", [0.0, 0.0, 0.0, 0.0])
     rolling_shutter = tuple(float(v) for v in (list(rs) + [0.0] * 4)[:4])
 
+    # Per-pixel ray files: ``rays_<imagename>.dat`` next to each image —
+    # n_pixels × (o vec3, d vec3) float32, light-field datasets
+    # (src/nerf_loader.cu:623-645). Converted NeRF→NGP like
+    # ``nerf_ray_to_ngp`` (nerf_loader.h:173-189): o·scale+offset, yzx
+    # cycle on both o and d. Enabled only when every frame has one (the
+    # reference keeps per-image nullptrs; batched arrays can't).
+    rays = None
+    if bool(top.get("enable_ray_loading", True)):
+        ray_paths = []
+        for j, base, fr in frames_all:
+            img_path = _resolve_path(base, fr["file_path"])
+            stem = os.path.splitext(os.path.basename(img_path))[0]
+            rp = os.path.join(os.path.dirname(img_path), f"rays_{stem}.dat")
+            ray_paths.append(rp if os.path.exists(rp) else None)
+        if any(ray_paths) and all(ray_paths):
+            rays = np.zeros((n, H, W, 6), np.float32)
+            for i, rp in enumerate(ray_paths):
+                raw = np.fromfile(rp, np.float32)
+                if raw.size < H * W * 6:
+                    raise ValueError(f"rays file {rp} too short")
+                r = raw[: H * W * 6].reshape(H, W, 6)
+                o = r[..., :3] * scale + offset
+                rays[i, ..., :3] = o[..., [1, 2, 0]]
+                rays[i, ..., 3:] = r[..., 3:][..., [1, 2, 0]]
+        elif any(ray_paths):
+            import warnings
+
+            warnings.warn(
+                "some frames have rays_*.dat files but not all — "
+                "ignoring supplied rays"
+            )
+
     # Environment map (latlong exr/image, src/nerf_loader.cu:516-528).
     envmap = None
     if "envmap" in top:
@@ -359,4 +394,5 @@ def load_nerf(path: str, sharpen: float = 0.0) -> NerfDataset:
         sharpness=sharpness,
         rolling_shutter=rolling_shutter,
         envmap=envmap,
+        rays=rays,
     )

@@ -198,6 +198,7 @@ class DatasetArrays(NamedTuple):
     pps: jax.Array  # (I, 2)
     depths: jax.Array | None = None  # (I, H, W) NGP-scale z-depth, 0 = none
     xforms_end: jax.Array | None = None  # (I, 3, 4) shutter-end pose
+    rays: jax.Array | None = None  # (I, H, W, 6) supplied per-pixel rays
 
 
 @dataclass
@@ -436,7 +437,16 @@ class NerfEngine:
                 else None
             ),
             xforms_end=jnp.asarray(ds.xforms[:, 1]) if has_rs else None,
+            rays=(
+                jnp.asarray(ds.rays)
+                if getattr(ds, "rays", None) is not None
+                else None
+            ),
         )
+        if self.data.rays is not None:
+            # Supplied rays: no meaningful camera origin for the near-cam
+            # penalty (testbed_nerf.cu:3053-3055 sets near_distance = 0)
+            self.near_distance = 0.0
         self.lens = ds.lens
         self.resolution = ds.resolution  # (W, H)
 
@@ -552,14 +562,20 @@ class NerfEngine:
         fork's geometry-seeded grids, ``src/testbed_nerf.cu:3440-3457``):
         its -1 cells stay culled forever, its 0 cells train normally."""
         state = occ.init_grid_state(self.grid_cfg)
-        density = occ.mark_untrained_cells(
-            self.grid_cfg,
-            state.density,
-            self.data.xforms,
-            self.data.focals,
-            self.data.pps,
-            self.resolution,
-        )
+        if self.data.rays is not None:
+            # Camera-frustum culling is only meaningful when the cameras
+            # are (testbed_nerf.cu:3448-3452): supplied-ray datasets keep
+            # every cell trainable (initially occupied, like visible cells).
+            density = jnp.ones_like(state.density)
+        else:
+            density = occ.mark_untrained_cells(
+                self.grid_cfg,
+                state.density,
+                self.data.xforms,
+                self.data.focals,
+                self.data.pps,
+                self.resolution,
+            )
         if precomputed_density is not None:
             pre = jnp.asarray(precomputed_density, jnp.float32)
             if pre.shape != density.shape:
@@ -640,6 +656,21 @@ class NerfEngine:
         rgba = data.images[img, px[:, 1], px[:, 0]].astype(jnp.float32)
         if data.images.dtype == jnp.uint8:
             rgba = rgba / 255.0
+
+        if data.rays is not None:
+            # Explicitly supplied per-pixel rays override the camera model
+            # (generate_training_samples_nerf, testbed_nerf.cu:1454-1458).
+            r = data.rays[img, px[:, 1], px[:, 0]]
+            o = r[:, :3]
+            d = r[:, 3:]
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            target_depth = None
+            if data.depths is not None:
+                z = data.depths[img, px[:, 1], px[:, 0]]
+                target_depth = z * jnp.linalg.norm(r[:, 3:], axis=-1)
+            tmin, _ = ray_aabb_range(o, d, self.aabb.min, self.aabb.max)
+            n0 = self.stepping.to_steps(tmin) + jax.random.uniform(kjit, (n,))
+            return RayBatch(o, d, rgba, n0, img, uv, target_depth)
 
         focal = data.focals[img]
         pp = data.pps[img]

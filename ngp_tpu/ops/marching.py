@@ -176,8 +176,11 @@ def march_rays(
     head = keys_sorted[:, :n_samples]  # first K occupied, in march order
     sel = jnp.minimum(head, n_lattice - 1)
 
-    t_c = jnp.take_along_axis(t, sel, axis=1)
-    dt_c = jnp.take_along_axis(dt, sel, axis=1)
+    # Recompute t/dt from the compacted lattice indices (bit-identical to
+    # the (N, M) tables above) — two exps beat two row gathers on TPU.
+    n_sel = n0[:, None] + sel.astype(jnp.float32)
+    t_c = stepping.from_steps(n_sel)
+    dt_c = stepping.from_steps(n_sel + 1.0) - t_c
     total = jnp.sum(occ.astype(jnp.int32), axis=1)
     kept = jnp.minimum(total, n_samples)
     valid = jnp.arange(n_samples)[None, :] < kept[:, None]

@@ -302,7 +302,8 @@ class Testbed:
 
         t0 = _time.monotonic()
         train_ms = render_ms = 0.0
-        if getattr(self, "shall_train", True) and self.state is not None:
+        if (getattr(self, "shall_train", True) and self.state is not None
+                and n_train_steps > 0):
             ts = _time.monotonic()
             self.train(n_train_steps)
             train_ms = (_time.monotonic() - ts) * 1e3

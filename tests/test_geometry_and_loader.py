@@ -170,3 +170,76 @@ def test_grid_at_lerp_matches_reference_semantics():
 
     dg = jax.grad(f)(jnp.asarray(g))
     np.testing.assert_allclose(float(jnp.sum(dg)), 2.0, rtol=1e-5)
+
+
+def test_ray_file_loading_and_training(tmp_path):
+    """rays_<name>.dat per-pixel ray files (light-field datasets,
+    src/nerf_loader.cu:623-645): loaded, converted NeRF→NGP like
+    nerf_ray_to_ngp, and used by the training sampler instead of the
+    camera model."""
+    import json
+    import math
+
+    import jax
+    from PIL import Image
+
+    from __graft_entry__ import _default_config, _tiny_sphere_dataset
+    from ngp_tpu.data.nerf_loader import load_nerf
+    from ngp_tpu.engines.nerf import NerfEngine
+
+    ds = _tiny_sphere_dataset(n_views=4, res=16)
+    W, H = ds.resolution
+    frames = []
+    scale, offset = 1.0, np.zeros(3, np.float32)
+    for i in range(4):
+        name = f"v{i:02d}.png"
+        Image.fromarray(np.asarray(ds.images[i])).save(str(tmp_path / name))
+        xf = np.asarray(ds.xforms[i, 0])
+        inv = xf[[2, 0, 1], :].copy()
+        inv[:, 1] *= -1
+        inv[:, 2] *= -1
+        frames.append({
+            "file_path": name,
+            "transform_matrix": np.vstack([inv, [0, 0, 0, 1]]).tolist(),
+        })
+        # per-pixel rays in NeRF space: ngp→nerf is the inverse cycle
+        u = (np.arange(W) + 0.5) / W
+        uu, vv = np.meshgrid(u, u)
+        f = float(ds.focal_lengths[i][0])
+        dc = np.stack([(uu - 0.5) * W / f, (vv - 0.5) * H / f,
+                       np.ones_like(uu)], -1)
+        d_ngp = dc @ xf[:, :3].T
+        o_ngp = np.broadcast_to(xf[:, 3], d_ngp.shape)
+        # ngp→nerf: inverse of (·scale+offset)[yzx] with scale 1/offset 0
+        # is the zxy cycle
+        o_nerf = o_ngp[..., [2, 0, 1]]
+        d_nerf = d_ngp[..., [2, 0, 1]]
+        raw = np.concatenate([o_nerf, d_nerf], -1).astype(np.float32)
+        raw.tofile(str(tmp_path / f"rays_v{i:02d}.dat"))
+
+    meta = {
+        "camera_angle_x": 2 * math.atan(0.5 * W / f),
+        "aabb_scale": 1, "scale": scale, "offset": offset.tolist(),
+        "frames": frames,
+    }
+    with open(tmp_path / "transforms.json", "w") as fp:
+        json.dump(meta, fp)
+
+    loaded = load_nerf(str(tmp_path / "transforms.json"))
+    assert loaded.rays is not None and loaded.rays.shape == (4, H, W, 6)
+    # round trip: stored rays match the NGP camera rays they encode
+    np.testing.assert_allclose(
+        loaded.rays[0, ..., :3], np.broadcast_to(
+            np.asarray(ds.xforms[0, 0][:, 3]), (H, W, 3)
+        ), atol=1e-5,
+    )
+
+    eng = NerfEngine(
+        _default_config(), loaded, batch_size=1 << 10, grid_size=16,
+        n_steps_per_unit=32,
+    )
+    assert eng.near_distance == 0.0
+    state, grid = eng.init_state(), eng.init_grid()
+    assert float(jnp.min(grid.density)) >= 0.0  # no frustum culling
+    state, grid, m = eng.train(state, grid, 4)
+    assert np.isfinite(float(m["loss"]))
