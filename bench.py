@@ -99,9 +99,13 @@ def main():
     jax.block_until_ready(state.params)
     RESULT["extra"]["warm_steps"] = warm_steps
 
-    # Measured window: fixed seconds, chunked steps.
+    # Measured window: fixed seconds, chunked steps. BENCH_PROFILE=dir
+    # wraps it in a jax.profiler trace (SURVEY §5.1).
     RESULT["extra"]["phase"] = "measure"
     window_s = min(60.0, max(remaining() - 60.0, 10.0))
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     t0 = time.time()
     measured = 0
     while time.time() - t0 < window_s and remaining() > 30:
@@ -109,6 +113,9 @@ def main():
         measured += 16
     jax.block_until_ready(state.params)
     dt = time.time() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
+        RESULT["extra"]["profile_dir"] = prof_dir
     if measured == 0:  # budget exhausted before any measured step
         emit_and_exit()
 

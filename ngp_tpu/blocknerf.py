@@ -108,6 +108,52 @@ def load_block_nerf_data(root: str, block_name: str) -> NerfDataset:
     return ds
 
 
+def playback_world_poses(root: str, n_frames: int) -> np.ndarray:
+    """Smooth drive-through path through every block's recorded cameras —
+    the fork's Bezier playback (``Testbed::frame``, ``testbed.cu:
+    3606-3675``). Returns (n_frames, 3, 4) raw-world camera-to-world
+    matrices in the convention ``BlockNerfRenderer.render_at`` expects
+    (pose.csv rows after the y/z column flip)."""
+    mats = []
+    for block in list_blocks(root):
+        pose_csv = os.path.join(root, "blocks", block, "pose.csv")
+        with open(pose_csv) as f:
+            lines = [l.strip() for l in f.readlines()][1:]
+        for line in lines:
+            parts = [p.strip() for p in line.split(",") if p.strip() != ""]
+            if not parts:
+                continue
+            m = np.asarray(
+                [float(v) for v in parts[5:17]], np.float32
+            ).reshape(3, 4)
+            m[:, 1] *= -1.0
+            m[:, 2] *= -1.0
+            mats.append(m)
+    if len(mats) < 2:
+        return np.repeat(np.asarray(mats, np.float32), n_frames, axis=0)
+    mats = np.stack(mats)  # (P, 3, 4)
+
+    # Catmull-Rom positions + pairwise rotation slerp along the key poses
+    import jax.numpy as jnp
+
+    from ngp_tpu.engines.nerf import _lerp_xforms
+
+    P = mats.shape[0]
+    t = np.linspace(0.0, P - 1.0, n_frames)
+    i0 = np.clip(t.astype(np.int64), 0, P - 2)
+    frac = (t - i0).astype(np.float32)
+    a = jnp.asarray(mats[i0])
+    b = jnp.asarray(mats[i0 + 1])
+    out = np.array(_lerp_xforms(a, b, jnp.asarray(frac)))
+    # smooth positions with a Catmull-Rom pass over the lerped track
+    pos = out[:, :, 3]
+    if n_frames > 4:
+        sm = pos.copy()
+        sm[1:-1] = 0.25 * pos[:-2] + 0.5 * pos[1:-1] + 0.25 * pos[2:]
+        out[:, :, 3] = sm
+    return out
+
+
 def list_blocks(root: str) -> list[str]:
     bdir = os.path.join(root, "blocks")
     return sorted(
@@ -157,16 +203,26 @@ def train_street_view_nerf(
     config: dict | None = None,
     n_steps_override: int | None = None,
     log=print,
+    block_shard: tuple[int, int] | None = None,
     **engine_kwargs,
 ):
     """Batch per-block training (``train_street_view_nerf``): trains every
     ``blocks/b*`` and writes ``blocks/<b>/nerf.ingp``. Returns the list of
-    snapshot paths."""
+    snapshot paths.
+
+    ``block_shard=(i, n)`` trains only every n-th block starting at i —
+    blocks are independent, so a fleet of processes (one per host/chip)
+    splits a city embarrassingly. The fork trains blocks strictly
+    serially (``testbed.cu:377-418``)."""
     from ngp_tpu.engines.nerf import NerfEngine
     from ngp_tpu.testbed import default_config
 
+    blocks = list_blocks(root)
+    if block_shard is not None:
+        i, nshards = block_shard
+        blocks = blocks[i::nshards]
     out = []
-    for block in list_blocks(root):
+    for block in blocks:
         log(f"Training block: {block}")
         ds = load_block_nerf_data(root, block)
         cfg = config or default_config("nerf")

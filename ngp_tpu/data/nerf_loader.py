@@ -324,6 +324,27 @@ def load_nerf(path: str, sharpen: float = 0.0) -> NerfDataset:
     rs = top.get("rolling_shutter", [0.0, 0.0, 0.0, 0.0])
     rolling_shutter = tuple(float(v) for v in (list(rs) + [0.0] * 4)[:4])
 
+    # Sharpening (the "sharpen" key): a 5-point unsharp filter applied to
+    # HDR training images at load, with the reference's exact weights and
+    # flat-index edge handling (``sharpen`` kernel nerf_loader.cu:93-113,
+    # center_w = 4 + 1/amount :977).
+    sharpen_amount = float(top.get("sharpen", 0.0))
+    if sharpen_amount > 0 and is_hdr:
+        center_w = 4.0 + 1.0 / sharpen_amount
+        inv_totalw = 1.0 / (center_w - 4.0)
+        n_pix = H * W
+        flat = images.reshape(n, n_pix, 4).astype(np.float32)
+        idx = np.arange(n_pix)
+        left = np.maximum(idx - 1, 0)
+        up = np.maximum(idx - W, 0)
+        right = np.where(idx + 1 >= n_pix, idx + 1 - n_pix, idx + 1)
+        down = np.where(idx + W >= n_pix, idx + W - n_pix, idx + W)
+        out = (
+            flat * center_w
+            - flat[:, left] - flat[:, up] - flat[:, right] - flat[:, down]
+        ) * inv_totalw
+        images = np.maximum(out, 0.0).reshape(images.shape).astype(images.dtype)
+
     # Per-pixel ray files: ``rays_<imagename>.dat`` next to each image —
     # n_pixels × (o vec3, d vec3) float32, light-field datasets
     # (src/nerf_loader.cu:623-645). Converted NeRF→NGP like

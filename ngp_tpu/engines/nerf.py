@@ -237,6 +237,9 @@ class NerfEngine:
     # (k-major order) — the analogue of the reference's step cap. 1.0
     # disables compaction.
     compaction_budget_frac: float = 0.625
+    # Same idea in the render path (shade/depth/ao modes): the network
+    # runs on a fixed budget of compacted sample rows; 1.0 disables.
+    render_compaction_frac: float = 0.625
     seed: int = 1337
     snap_to_pixel_centers: bool = True
     train_with_random_bg: bool = True
@@ -1186,15 +1189,46 @@ class NerfEngine:
             valid=marched.valid & (marched.t <= tcmax[:, None])
         )
         N, K = marched.t.shape
+        # Render-path sample compaction (the training compaction's sibling;
+        # the reference's wavefront only feeds alive samples to inference,
+        # testbed_nerf.cu:2504-2659). k-major, so budget overflow drops the
+        # deepest march steps — the same bias as the reference's step cap.
+        plan = None
+        if getattr(self, "render_compaction_frac", 0.625) < 1.0 and mode in (
+            "shade", "depth", "ao",
+        ):
+            from ngp_tpu.ops.compaction import compaction_plan
+
+            frac = getattr(self, "render_compaction_frac", 0.625)
+            budget = min(-(-int(N * K * frac) // 1024) * 1024, N * K)
+            if 0 < budget < N * K:
+                plan = compaction_plan(
+                    jnp.transpose(marched.valid).reshape(-1), budget
+                )
+                keep = jnp.transpose(plan.keep.reshape(K, N))
+                marched = marched._replace(valid=marched.valid & keep)
         pos = origins[:, None, :] + dirs[:, None, :] * marched.t[..., None]
-        pos_w = self.aabb.relative_pos(pos).reshape(N * K, 3)
-        dir_w = jnp.broadcast_to(
-            warp_direction(dirs)[:, None, :], (N, K, 3)
-        ).reshape(N * K, 3)
+        pos_w = self.aabb.relative_pos(pos)
+        dir_w3 = warp_direction(dirs)
+        if plan is not None:
+            from ngp_tpu.ops.compaction import compact_rows, expand_rows
+
+            pos_km = jnp.transpose(pos_w, (1, 0, 2)).reshape(K * N, 3)
+            dir_km = jnp.broadcast_to(
+                dir_w3[None, :, :], (K, N, 3)
+            ).reshape(K * N, 3)
+            pos_w = compact_rows(pos_km, plan)
+            dir_w = compact_rows(dir_km, plan)
+            n = pos_w.shape[0]
+        else:
+            pos_w = pos_w.reshape(N * K, 3)
+            dir_w = jnp.broadcast_to(
+                dir_w3[:, None, :], (N, K, 3)
+            ).reshape(N * K, 3)
+            n = N * K
         # Chunk the sample sweep: at render sizes (rays × K samples) the
         # encoding's (L, N, C, D) index intermediates would exceed HBM.
         chunk = 1 << 18
-        n = N * K
         pad = (-n) % chunk
         if pad:
             pos_w = jnp.concatenate([pos_w, jnp.zeros((pad, 3))], 0)
@@ -1207,7 +1241,15 @@ class NerfEngine:
         raw = jax.lax.map(
             net,
             (pos_w.reshape(-1, chunk, 3), dir_w.reshape(-1, chunk, 3)),
-        ).reshape(-1, 4)[:n].reshape(N, K, 4)
+        ).reshape(-1, 4)[:n]
+        if plan is not None:
+            from ngp_tpu.ops.compaction import expand_rows
+
+            raw = jnp.transpose(
+                expand_rows(raw, plan).reshape(K, N, 4), (1, 0, 2)
+            )
+        else:
+            raw = raw.reshape(N, K, 4)
         rgb = rgb_activation(self.rgb_act)(raw[..., :3])
         sigma = density_activation(self.density_act)(raw[..., 3])
         if mode == "normals":

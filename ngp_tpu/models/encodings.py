@@ -254,6 +254,33 @@ class GridEncoding(Encoding):
             off += int(s) * self.n_features_per_level
         return out
 
+    def level_histograms(self, params, n_bins: int = 128,
+                         vmax: float = 1.0):
+        """Per-level histograms of |weight| over each level's live rows —
+        the data behind the reference GUI's hash-level histograms
+        (``gather_histograms``, ``testbed.cu:4826-4871``). Returns
+        (counts (L, n_bins) int32, mean |w| per level (L,))."""
+        table = params["table"]  # (L, T, F)
+        _, _, sizes, _ = self._level_geometry()
+        rows = jnp.arange(table.shape[1])
+        counts, means = [], []
+        for l in range(self.n_levels):
+            live = rows < int(sizes[l])
+            w = jnp.abs(table[l]).max(axis=-1)
+            w = jnp.where(live, w, -1.0)  # dead rows fall below bin 0
+            b = jnp.clip(
+                (w / vmax * n_bins).astype(jnp.int32), -1, n_bins - 1
+            )
+            counts.append(
+                jnp.sum(
+                    b[:, None] == jnp.arange(n_bins)[None, :], axis=0
+                ).astype(jnp.int32)
+            )
+            means.append(
+                jnp.sum(jnp.where(live, w, 0.0)) / jnp.maximum(int(sizes[l]), 1)
+            )
+        return jnp.stack(counts), jnp.stack(means)
+
     def init(self, key: jax.Array):
         # tcnn initializes grid features ~ U(-1e-4, 1e-4).
         T = self.max_table_rows

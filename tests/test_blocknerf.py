@@ -128,3 +128,20 @@ def test_blocknerf_train_and_playback(street):
         # dominant channel matches the block color
         assert np.argmax(c) == np.argmax(want), (bname, c)
         assert c[np.argmax(want)] > 0.3, (bname, c)
+
+
+def test_playback_world_poses(street):
+    """Playback path: smooth world poses through every block's cameras
+    (the fork's Bezier drive-through, testbed.cu:3606-3675)."""
+    from ngp_tpu.blocknerf import playback_world_poses
+
+    poses = playback_world_poses(street, 24)
+    assert poses.shape == (24, 3, 4)
+    # rotations stay orthonormal through the slerp
+    R = poses[:, :, :3]
+    rtr = np.einsum("nij,nik->njk", R, R)
+    np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), rtr.shape),
+                               atol=1e-3)
+    # the path visits both blocks' neighborhoods (x spans the street)
+    xs = poses[:, 0, 3]
+    assert xs.max() - xs.min() > 50

@@ -294,3 +294,18 @@ def test_simplex_gradients_flow():
         lambda xx: jnp.sum(enc(params, xx, differentiable_inputs=True))
     )(x)
     assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_level_histograms():
+    """gather_histograms counterpart (testbed.cu:4826-4871): per-level
+    |weight| histograms over live rows only."""
+    enc = GridEncoding(n_levels=3, n_features_per_level=2, base_resolution=4,
+                       log2_hashmap_size=8, per_level_scale=2.0)
+    params = enc.init(jax.random.PRNGKey(0))
+    counts, means = enc.level_histograms(params, n_bins=16, vmax=1e-3)
+    _, _, sizes, _ = enc._level_geometry()
+    assert counts.shape == (3, 16) and means.shape == (3,)
+    # every live row lands in some bin
+    for l in range(3):
+        assert int(counts[l].sum()) == int(sizes[l])
+    assert np.all(np.asarray(means) >= 0)

@@ -243,3 +243,39 @@ def test_ray_file_loading_and_training(tmp_path):
     assert float(jnp.min(grid.density)) >= 0.0  # no frustum culling
     state, grid, m = eng.train(state, grid, 4)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharpen_on_load(tmp_path):
+    """The "sharpen" key applies the reference's 5-point unsharp filter to
+    HDR images at load (nerf_loader.cu:93-113, center_w = 4 + 1/amount)."""
+    import json
+
+    from ngp_tpu.data.exr import write_exr
+    from ngp_tpu.data.nerf_loader import load_nerf
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.1, 0.9, (8, 8, 4)).astype(np.float32)
+    write_exr(str(tmp_path / "a.exr"), img[..., :3])
+    frame = {"file_path": "a.exr",
+             "transform_matrix": np.eye(4)[:3].tolist() + [[0, 0, 0, 1]]}
+    for amount in (0.0, 0.5):
+        meta = {"camera_angle_x": 0.7, "aabb_scale": 1, "scale": 1.0,
+                "offset": [0, 0, 0], "frames": [frame]}
+        if amount:
+            meta["sharpen"] = amount
+        with open(tmp_path / "transforms.json", "w") as f:
+            json.dump(meta, f)
+        ds = load_nerf(str(tmp_path / "transforms.json"))
+        if amount == 0.0:
+            base = np.asarray(ds.images[0], np.float32)
+        else:
+            sharp = np.asarray(ds.images[0], np.float32)
+    # interior pixel: out = max(0, (c*cw - l - u - r - d) / (cw - 4))
+    cw = 4.0 + 1.0 / 0.5
+    y, x = 4, 4
+    want = (base[y, x] * cw - base[y, x - 1] - base[y - 1, x]
+            - base[y, x + 1] - base[y + 1, x]) / (cw - 4.0)
+    np.testing.assert_allclose(
+        sharp[y, x], np.maximum(want, 0.0), rtol=2e-3, atol=2e-3
+    )
+    assert not np.allclose(sharp, base, atol=1e-3)
