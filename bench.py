@@ -137,13 +137,20 @@ def main():
 
     from __graft_entry__ import _default_config
 
-    engine = NerfEngine(_default_config(), dataset, batch_size=1 << 18)
+    cfg = _default_config()
+    # NGP_TPU_BENCH_INTERP=Simplex: tetrahedral grid lookups (4 rows per
+    # sample instead of 8 — see docs/PERF.md; quality-neutral on the
+    # sphere and mini-fox checks).
+    if os.environ.get("NGP_TPU_BENCH_INTERP"):
+        cfg["encoding"]["interpolation"] = os.environ["NGP_TPU_BENCH_INTERP"]
+    engine = NerfEngine(cfg, dataset, batch_size=1 << 18)
     state = engine.init_state()
     grid = engine.init_grid()
     RESULT["extra"] = {
         "scene": scene,
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),
+        "interpolation": cfg["encoding"].get("interpolation", "Linear"),
         "phase": "warmup",
     }
     checkpoint_result()

@@ -1268,6 +1268,28 @@ class NerfEngine:
             rgb = (nrm + 1.0) * 0.5
         elif mode == "positions":
             rgb = pos_w[: N * K].reshape(N, K, 3)
+        elif mode == "encoding":
+            # EncodingVis: composite the pos-encoding's features as color
+            # (the reference's visualize_activation path; first three
+            # feature channels, squashed to [0,1]).
+            def enc_fn(p3):
+                e = self.network.pos_encoding(
+                    params["model"]["pos_encoding"], p3
+                )
+                return jax.nn.sigmoid(e[:, :3] * 20.0)
+
+            feats = jax.lax.map(
+                enc_fn, pos_w.reshape(-1, chunk, 3)
+            ).reshape(-1, 3)[:n]
+            if plan is not None:
+                from ngp_tpu.ops.compaction import expand_rows as _er
+
+                feats = jnp.transpose(
+                    _er(feats, plan).reshape(K, N, 3), (1, 0, 2)
+                )
+            else:
+                feats = feats.reshape(N, K, 3)
+            rgb = feats
         comp = composite(
             rgb, sigma, marched.dt, marched.t, marched.valid,
             self.min_transmittance_render,

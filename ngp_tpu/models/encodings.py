@@ -55,7 +55,7 @@ def grid_gather_blend(table: jax.Array, idx: jax.Array, w: jax.Array) -> jax.Arr
     flat = (jnp.arange(L, dtype=jnp.uint32)[:, None, None] * jnp.uint32(T)
             + idx.astype(jnp.uint32)).reshape(-1)
     feats = jnp.take(
-        table.reshape(L * T, F), flat.astype(jnp.int32), axis=0
+        table.reshape(L * T, F), flat.astype(jnp.int32), axis=0, mode="clip"
     ).reshape(idx.shape + (F,))
     return jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
 

@@ -59,7 +59,7 @@ def compaction_plan(valid: jax.Array, budget: int) -> CompactionPlan:
 def compact_rows(x: jax.Array, plan: CompactionPlan) -> jax.Array:
     """(NK, C) → (budget, C): row j = x[cidx[j]]; rows past the last valid
     sample are zeroed."""
-    out = jnp.take(x, plan.cidx, axis=0)
+    out = jnp.take(x, plan.cidx, axis=0, mode="clip")
     return jnp.where(plan.live[:, None], out, 0.0)
 
 
@@ -69,7 +69,7 @@ def _compact_fwd(x, plan):
 
 def _compact_bwd(plan, g):
     # dx[s] = g[rank[s]] if slot s was kept, else 0 — a gather.
-    dx = jnp.take(g, plan.rank, axis=0)
+    dx = jnp.take(g, plan.rank, axis=0, mode="clip")
     dx = jnp.where(plan.keep[:, None], dx, 0.0)
     return dx, None
 
@@ -80,7 +80,7 @@ compact_rows.defvjp(_compact_fwd, _compact_bwd)
 @jax.custom_vjp
 def expand_rows(y: jax.Array, plan: CompactionPlan) -> jax.Array:
     """(budget, C) → (NK, C): slot s = y[rank[s]] if kept, else 0."""
-    out = jnp.take(y, plan.rank, axis=0)
+    out = jnp.take(y, plan.rank, axis=0, mode="clip")
     return jnp.where(plan.keep[:, None], out, 0.0)
 
 
@@ -90,7 +90,7 @@ def _expand_fwd(y, plan):
 
 def _expand_bwd(plan, g):
     # dy[j] = g[cidx[j]] for live rows — a gather (bijection inverse).
-    dy = jnp.take(g, plan.cidx, axis=0)
+    dy = jnp.take(g, plan.cidx, axis=0, mode="clip")
     dy = jnp.where(plan.live[:, None], dy, 0.0)
     return dy, None
 

@@ -110,7 +110,7 @@ def occupied_at(bitfield: jax.Array, pos: jax.Array, mip: jax.Array) -> jax.Arra
     cell, valid = cell_index_at(pos, mip, G)
     flat = ((mip * G + cell[..., 0]) * G + cell[..., 1]) * G + cell[..., 2]
     flat = jnp.where(valid, flat, 0)
-    occ = jnp.take(bitfield.reshape(-1), flat) > 0
+    occ = jnp.take(bitfield.reshape(-1), flat, mode="clip") > 0
     return occ & valid
 
 
@@ -179,7 +179,7 @@ def sample_update_cells(
     # (thresh -0.01), nonuniform ones require density > threshold.
     probes = jax.random.randint(k2, (n, 10), 0, n_cells)
     flat_probes = mip[:, None] * n_cells + probes
-    vals = jnp.take(density.reshape(-1), flat_probes)
+    vals = jnp.take(density.reshape(-1), flat_probes, mode="clip")
     thresh = jnp.where(
         jnp.arange(n) < n_uniform, -0.01, NERF_MIN_OPTICAL_THICKNESS
     )

@@ -94,6 +94,10 @@ def main(argv=None):
     p.add_argument("--video_w", type=int, default=640)
     p.add_argument("--video_h", type=int, default=360)
     p.add_argument("--video_spp", type=int, default=1)
+    p.add_argument("--render_mode", default="shade",
+                   choices=["shade", "depth", "normals", "positions",
+                            "cost", "ao", "encoding"],
+                   help="NeRF screenshot render mode (ERenderMode)")
     p.add_argument("--tonemap", default="identity",
                    choices=["identity", "aces", "hable", "reinhard"],
                    help="tonemap curve for screenshots/video frames")
@@ -239,7 +243,13 @@ def main(argv=None):
 
     if args.screenshot:
         os.makedirs(os.path.dirname(args.screenshot) or ".", exist_ok=True)
-        if tb.mode == "nerf":
+        if tb.mode == "nerf" and args.render_mode != "shade":
+            import numpy as _np
+
+            img = _np.asarray(tb.engine.render_image(
+                tb.state, tb.grid, args.test_view, mode=args.render_mode
+            ))
+        elif tb.mode == "nerf":
             img = tb.render(args.screenshot_w, args.screenshot_h,
                             training_view=args.test_view)
         else:

@@ -282,3 +282,23 @@ def test_distortion_map_recovers_lens_offset():
     assert abs(mean_off).max() > 1e-4
     assert mean_off[0] > 0 and mean_off[1] < 0, mean_off
     assert loss_opt < loss_frozen * 1.2, (loss_opt, loss_frozen)
+
+
+def test_simplex_training_step_runs():
+    """interpolation='Simplex' through the full train path (compaction +
+    scatter-free backward + optax): finite loss, params move."""
+    from __graft_entry__ import _default_config, _tiny_sphere_dataset
+
+    cfg = _default_config()
+    cfg["encoding"].update({"n_levels": 3, "log2_hashmap_size": 10,
+                            "interpolation": "Simplex"})
+    eng = NerfEngine(
+        cfg, _tiny_sphere_dataset(), batch_size=1 << 11,
+        min_rays_per_batch=8, grid_size=16, n_steps_per_unit=32, seed=2,
+    )
+    state, grid = eng.init_state(), eng.init_grid()
+    t0 = np.asarray(state.params["model"]["pos_encoding"]["table"]).copy()
+    state, grid, m = eng.train(state, grid, 6)
+    assert np.isfinite(float(m["loss"]))
+    t1 = np.asarray(state.params["model"]["pos_encoding"]["table"])
+    assert not np.allclose(t0, t1)

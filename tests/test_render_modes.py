@@ -75,3 +75,13 @@ def test_render_crop_box(trained):
     bg = np.asarray(eng.background_color, np.float32)
     assert np.allclose(cropped, bg[None, None, :], atol=1e-3)
     assert not np.allclose(full, cropped, atol=1e-2)
+
+
+def test_render_encoding_vis(trained):
+    """EncodingVis: composite the position encoding's features as color
+    (network.visualize_activation counterpart)."""
+    eng, state, grid = trained
+    img = eng.render_image(state, grid, 0, stride=4, mode="encoding")
+    arr = np.asarray(img)
+    assert arr.shape[-1] == 3 and np.isfinite(arr).all()
+    assert (arr >= 0).all() and (arr <= 1).all()
