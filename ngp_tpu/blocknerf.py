@@ -112,8 +112,9 @@ def playback_world_poses(root: str, n_frames: int) -> np.ndarray:
     """Smooth drive-through path through every block's recorded cameras —
     the fork's Bezier playback (``Testbed::frame``, ``testbed.cu:
     3606-3675``). Returns (n_frames, 3, 4) raw-world camera-to-world
-    matrices in the convention ``BlockNerfRenderer.render_at`` expects
-    (pose.csv rows after the y/z column flip)."""
+    matrices in pose.csv's own convention — exactly what
+    ``BlockNerfRenderer.render_at`` takes (it applies the y/z column flip
+    itself before ``nerf_matrix_to_ngp``)."""
     mats = []
     for block in list_blocks(root):
         pose_csv = os.path.join(root, "blocks", block, "pose.csv")
@@ -126,8 +127,6 @@ def playback_world_poses(root: str, n_frames: int) -> np.ndarray:
             m = np.asarray(
                 [float(v) for v in parts[5:17]], np.float32
             ).reshape(3, 4)
-            m[:, 1] *= -1.0
-            m[:, 2] *= -1.0
             mats.append(m)
     if len(mats) < 2:
         return np.repeat(np.asarray(mats, np.float32), n_frames, axis=0)

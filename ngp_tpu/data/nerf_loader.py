@@ -327,7 +327,9 @@ def load_nerf(path: str, sharpen: float = 0.0) -> NerfDataset:
     # Sharpening (the "sharpen" key): a 5-point unsharp filter applied to
     # HDR training images at load, with the reference's exact weights and
     # flat-index edge handling (``sharpen`` kernel nerf_loader.cu:93-113,
-    # center_w = 4 + 1/amount :977).
+    # center_w = 4 + 1/amount :977). The edge handling is deliberately
+    # bug-compatible: the reference clamps up/left to flat index 0 but
+    # WRAPS down/right modulo the image — kept verbatim for parity.
     sharpen_amount = float(top.get("sharpen", 0.0))
     if sharpen_amount > 0 and is_hdr:
         center_w = 4.0 + 1.0 / sharpen_amount

@@ -1278,18 +1278,11 @@ class NerfEngine:
                 )
                 return jax.nn.sigmoid(e[:, :3] * 20.0)
 
-            feats = jax.lax.map(
+            # (mode 'encoding' is outside the compaction gate above, so
+            # pos_w here is always the full N·K layout)
+            rgb = jax.lax.map(
                 enc_fn, pos_w.reshape(-1, chunk, 3)
-            ).reshape(-1, 3)[:n]
-            if plan is not None:
-                from ngp_tpu.ops.compaction import expand_rows as _er
-
-                feats = jnp.transpose(
-                    _er(feats, plan).reshape(K, N, 3), (1, 0, 2)
-                )
-            else:
-                feats = feats.reshape(N, K, 3)
-            rgb = feats
+            ).reshape(-1, 3)[:n].reshape(N, K, 3)
         comp = composite(
             rgb, sigma, marched.dt, marched.t, marched.valid,
             self.min_transmittance_render,
@@ -1442,18 +1435,25 @@ class NerfEngine:
         width: int | None = None,
         height: int | None = None,
         spp: int = 1,
-        snap_to_pixel_centers: bool = True,
+        snap_to_pixel_centers: bool | None = None,
         seed: int = 0,
         aperture_size: float = 0.0,
         focus_z: float = 1.0,
+        pixel_stride: int = 1,
     ):
         """Render an arbitrary camera view: ``xform`` (3,4) camera-to-world,
         ``focal`` (fx, fy) in pixels at the given resolution, ``pp``
         principal point in [0,1]². ``spp > 1`` jitters sub-pixel ray offsets
         and averages in linear radiance — the TPU render epilogue's
         accumulate buffer (``CudaRenderBuffer::accumulate``,
-        ``src/render_buffer.cu``). Returns (rgb (H,W,3) in the training
-        color space, depth (H,W), opacity (H,W))."""
+        ``src/render_buffer.cu``). ``snap_to_pixel_centers=None`` (default)
+        snaps single-sample renders and jitters when spp > 1 (an all-pass
+        snap would just average identical images). ``pixel_stride`` renders
+        every Nth pixel of the FULL-resolution raster at its true pixel
+        center — registration-exact against ``image[::N, ::N]`` ground
+        truth (unlike shrinking width+focal, which shifts rays by
+        (N−1)/2 px). Returns (rgb (H',W',3) in the training color space,
+        depth (H',W'), opacity (H',W'))."""
         from ngp_tpu.ops.tonemap import linear_to_srgb, srgb_to_linear
 
         W = int(width if width is not None else self.resolution[0])
@@ -1461,16 +1461,20 @@ class NerfEngine:
         xform = jnp.asarray(xform, jnp.float32)
         focal = jnp.asarray(focal, jnp.float32).reshape(2)
         pp = jnp.asarray(pp, jnp.float32).reshape(2)
-        px, py = np.meshgrid(np.arange(W), np.arange(H))
+        px, py = np.meshgrid(
+            np.arange(0, W, pixel_stride), np.arange(0, H, pixel_stride)
+        )
+        Wout, Hout = px.shape[1], px.shape[0]
         base = np.stack([px, py], axis=-1).reshape(-1, 2).astype(np.float32)
         n = base.shape[0]
+        snap = (spp <= 1) if snap_to_pixel_centers is None else snap_to_pixel_centers
 
         acc_rgb = None
         acc_depth = None
         acc_opa = None
         rng = np.random.default_rng(seed)
         for s in range(max(spp, 1)):
-            if snap_to_pixel_centers or spp <= 1:
+            if snap or spp <= 1:
                 off = np.asarray([0.5, 0.5], np.float32)
             else:
                 off = rng.random(2).astype(np.float32)
@@ -1517,9 +1521,9 @@ class NerfEngine:
             linear_to_srgb(rgb_lin) if self.rgb_act == "Logistic" else rgb_lin
         )
         return (
-            rgb.reshape(H, W, 3),
-            (acc_depth / k).reshape(H, W),
-            (acc_opa / k).reshape(H, W),
+            rgb.reshape(Hout, Wout, 3),
+            (acc_depth / k).reshape(Hout, Wout),
+            (acc_opa / k).reshape(Hout, Wout),
         )
 
     def render_view_foveated(
@@ -1599,17 +1603,20 @@ class NerfEngine:
                 n_views = min(n_views, max_views)
             per_view = []
             W, H = test_dataset.resolution
-            Ws, Hs = len(range(0, W, stride)), len(range(0, H, stride))
             for i in range(n_views):
+                # pixel_stride keeps strided eval rays registration-exact
+                # against the image[::stride] ground truth (full-res focal,
+                # true pixel centers)
                 rgb, _, _ = self.render_view(
                     state,
                     grid,
                     test_dataset.xforms[i, 0],
-                    test_dataset.focal_lengths[i] * (Ws / W),
+                    test_dataset.focal_lengths[i],
                     test_dataset.principal_points[i],
-                    width=Ws,
-                    height=Hs,
+                    width=W,
+                    height=H,
                     spp=spp,
+                    pixel_stride=stride,
                 )
                 pred = np.clip(np.asarray(rgb), 0.0, 1.0)
                 img = test_dataset.images[i][::stride, ::stride].astype(np.float32)

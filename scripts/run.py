@@ -132,8 +132,9 @@ def main(argv=None):
     if args.holdout_every and args.holdout_every > 1:
         from ngp_tpu.data.nerf_loader import load_nerf
 
-        full_ds = load_nerf(args.scene if not os.path.isdir(args.scene)
-                            else os.path.join(args.scene, "transforms.json"))
+        # load exactly like Testbed does (a directory unions all jsons) so
+        # the frame indices refer to the same frame list
+        full_ds = load_nerf(args.scene)
         all_idx = list(range(full_ds.n_images))
         test_idx = all_idx[:: args.holdout_every]
         train_idx = [i for i in all_idx if i not in set(test_idx)]
@@ -150,19 +151,25 @@ def main(argv=None):
 
     if args.n_steps > 0 and tb.engine is not None:
         t0 = time.time()
+        done_steps = args.n_steps
         if args.profile:
             import jax
 
-            tb.train(min(args.n_steps, 16))  # compile outside the trace
-            with jax.profiler.trace(args.profile):
-                tb.train(min(args.n_steps, 8))
-            print(f"profiler trace written to {args.profile}")
-            tb.train(max(args.n_steps - min(args.n_steps, 16) - 8, 0))
+            warm = min(args.n_steps, 16)
+            traced = min(max(args.n_steps - warm, 0), 8)
+            tb.train(warm)  # compile outside the trace
+            if traced:
+                with jax.profiler.trace(args.profile):
+                    tb.train(traced)
+                print(f"profiler trace written to {args.profile}")
+            rest = args.n_steps - warm - traced
+            if rest > 0:
+                tb.train(rest)
         else:
             tb.train(args.n_steps)
         dt = time.time() - t0
-        print(f"trained {args.n_steps} steps in {dt:.1f}s "
-              f"({args.n_steps / dt:.2f} steps/s), loss={tb.loss:.6f}")
+        print(f"trained {done_steps} steps in {dt:.1f}s "
+              f"({done_steps / dt:.2f} steps/s), loss={tb.loss:.6f}")
 
     # evaluation
     if tb.mode == "nerf":

@@ -137,6 +137,19 @@ def test_playback_world_poses(street):
 
     poses = playback_world_poses(street, 24)
     assert poses.shape == (24, 3, 4)
+    # frame 0 is the first recorded pose VERBATIM (raw pose.csv
+    # convention — render_at applies the y/z flip itself; regression for
+    # a double-flip that rendered playback facing backwards)
+    import os as _os
+
+    first_block = sorted(
+        d for d in _os.listdir(_os.path.join(street, "blocks"))
+        if d.startswith("b")
+    )[0]
+    with open(_os.path.join(street, "blocks", first_block, "pose.csv")) as f:
+        row = [p for p in f.readlines()[1].split(",") if p.strip()]
+    m0 = np.asarray([float(v) for v in row[5:17]], np.float32).reshape(3, 4)
+    np.testing.assert_allclose(poses[0], m0, atol=1e-5)
     # rotations stay orthonormal through the slerp
     R = poses[:, :, :3]
     rtr = np.einsum("nij,nik->njk", R, R)

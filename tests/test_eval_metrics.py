@@ -103,3 +103,21 @@ def test_dataset_subset_holdout():
     np.testing.assert_array_equal(te.images[1], ds.images[4])
     np.testing.assert_array_equal(tr.xforms[0], ds.xforms[1])
     assert tr.resolution == ds.resolution and tr.aabb_scale == ds.aabb_scale
+
+
+def test_pixel_stride_registration(trained_engine):
+    """render_view(pixel_stride=N) casts the SAME rays as the full render
+    decimated [::N] — the registration the strided eval protocol needs
+    (regression: width/focal shrinking shifted rays by (N-1)/2 px)."""
+    engine, state, grid = trained_engine
+    xf = engine.dataset.xforms[0, 0]
+    f = engine.dataset.focal_lengths[0]
+    W, H = engine.resolution
+    full, _, _ = engine.render_view(state, grid, xf, f, width=W, height=H)
+    strided, _, _ = engine.render_view(
+        state, grid, xf, f, width=W, height=H, pixel_stride=2
+    )
+    assert strided.shape[0] == (H + 1) // 2
+    np.testing.assert_allclose(
+        np.asarray(strided), np.asarray(full)[::2, ::2], atol=2e-2
+    )
