@@ -67,42 +67,58 @@ def remaining() -> float:
 
 def supervise() -> None:
     """Run the measurement in a child process; guarantee ONE JSON line on
-    stdout no matter where the child blocks or how it dies."""
+    stdout no matter where the child blocks or how it dies — including
+    the round-1 failure mode where an OUTER driver `timeout` SIGTERMs this
+    supervisor itself before the internal budget elapses."""
     partial = f"/tmp/ngp_bench_partial_{os.getpid()}.json"
     env = {**os.environ, "BENCH_CHILD": "1", "BENCH_PARTIAL_FILE": partial}
+
+    def emit_partial(note: str) -> None:
+        try:
+            with open(partial) as f:
+                snap = json.load(f)
+            snap["extra"]["supervisor_note"] = note
+            print(json.dumps(snap), flush=True)
+            return
+        except (OSError, ValueError):
+            pass
+        RESULT["extra"]["error"] = note
+        RESULT["extra"]["total_wall_s"] = round(time.time() - T_START, 1)
+        print(json.dumps(RESULT), flush=True)
+
+    child_holder = {}
+
+    def on_signal(signum, frame):
+        proc = child_holder.get("proc")
+        if proc is not None:
+            try:
+                proc.kill()
+            except OSError:
+                pass
+        emit_partial(f"supervisor got signal {signum}")
+        os._exit(0)  # bypass atexit/buffers: the outer timeout is imminent
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-            timeout=max(BUDGET_S - 5, 30),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        child_holder["proc"] = proc
+        out, err = proc.communicate(timeout=max(BUDGET_S - 5, 30))
+        lines = [l for l in out.splitlines() if l.startswith("{")]
         if lines:
             print(lines[-1], flush=True)
             return
         RESULT["extra"]["error"] = (
-            f"child rc={proc.returncode}, no JSON; stderr tail: "
-            + proc.stderr[-300:]
+            f"child rc={proc.returncode}, no JSON; stderr tail: " + err[-300:]
         )
-    except subprocess.TimeoutExpired as e:
+    except subprocess.TimeoutExpired:
+        child_holder["proc"].kill()
         RESULT["extra"]["error"] = "supervisor timeout"
-        RESULT["extra"]["stderr_tail"] = (
-            (e.stderr or b"").decode("utf-8", "ignore")[-300:]
-            if isinstance(e.stderr, bytes) else str(e.stderr)[-300:]
-        )
     # fall back to the child's last phase checkpoint
-    try:
-        with open(partial) as f:
-            snap = json.load(f)
-        snap["extra"]["supervisor_note"] = RESULT["extra"].get(
-            "error", "recovered from partial"
-        )
-        print(json.dumps(snap), flush=True)
-        return
-    except (OSError, ValueError):
-        pass
-    RESULT["extra"]["total_wall_s"] = round(time.time() - T_START, 1)
-    print(json.dumps(RESULT), flush=True)
+    emit_partial(RESULT["extra"].get("error", "recovered from partial"))
 
 
 def main():
