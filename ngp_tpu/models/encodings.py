@@ -31,6 +31,96 @@ import numpy as np
 _HASH_PRIMES = (1, 2654435761, 805459861)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def grid_dup_gather_blend(
+    enc: "GridEncoding", table: jax.Array, base: jax.Array, wc: jax.Array
+) -> jax.Array:
+    """Single-row-per-sample grid blend: all 2^D corners of a cell ride ONE
+    gathered row of width 2^D·F from a corner-duplicated table view.
+
+    TPU fast path for Linear interpolation with the *additive* hash: the
+    additive hash ``h = x + y·P2 + z·P3 (mod size)`` makes every corner of
+    a cell an affine shift of the cell's base address — corner (dx,dy,dz)
+    lives at ``base + dx + dy·S2 + dz·S3 (mod size)`` with static
+    per-level shifts (dense levels: S2 = r, S3 = r²; hashed: the primes
+    mod the table size). So a view ``dup[i] = [t[i], t[i+1], t[i+S2],
+    t[i+S2+1], t[i+S3], ...]`` (built per step with D concat+roll passes —
+    linear, ~0.3 ms) turns the 2^D·L row gathers per sample into **L**:
+    measured on v5e, the v5e gather is row-issue-bound (~4 ns/row almost
+    independent of width ≤ 128 B), so this is a direct 8x reduction of the
+    forward's dominant term (scripts/bench_r3.py, docs/PERF.md).
+
+    The backward keys each x-adjacent corner PAIR (P = 2^(D−1) keys per
+    sample, 2F-wide payloads — half the rows of a per-corner segment sum),
+    then folds with one shifted add: ``dtable[t] = pair[t, :F] +
+    pair[t−1 mod size, F:]``.
+
+    Exactness: identical arithmetic to the classic per-corner path with
+    the additive hash, including the dense top-plane behavior (per-dim
+    clamp with the fraction pushed to 1 reads the same clamped corner
+    value). Gradients flow to ``table`` only.
+    """
+    L, T, F = table.shape
+    D = enc.n_input_dims
+    C = 1 << D
+    N = base.shape[1]
+    s2, s3 = enc._dup_shifts()
+    dups = []
+    for l in range(L):
+        d = jnp.concatenate([table[l], jnp.roll(table[l], -1, axis=0)], -1)
+        if D >= 2:
+            d = jnp.concatenate([d, jnp.roll(d, -int(s2[l]), axis=0)], -1)
+        if D >= 3:
+            d = jnp.concatenate([d, jnp.roll(d, -int(s3[l]), axis=0)], -1)
+        dups.append(d)
+    flat = jnp.stack(dups).reshape(L * T, C * F)
+    off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
+    rows = jnp.take(flat, (base + off).reshape(-1), axis=0, mode="clip")
+    # Blend as one wide (N, C·F) multiply + a tiny selection matmul —
+    # narrow-minor elementwise chains (·, C, F) run at a fraction of lane
+    # width on TPU.
+    rows = rows.reshape(L, N, C * F)
+    wex = jnp.broadcast_to(wc[..., None], (L, N, C, F)).reshape(L, N, C * F)
+    sel = jnp.tile(jnp.eye(F, dtype=table.dtype), (C, 1))  # (C·F, F)
+    return jax.lax.dot_general(
+        rows * wex, sel, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gdgb_fwd(enc, table, base, wc):
+    proto = jnp.zeros((0,), table.dtype)
+    return grid_dup_gather_blend(enc, table, base, wc), (proto, base, wc)
+
+
+def _gdgb_bwd(enc, res, g):
+    from ngp_tpu.ops.scatter_free import batched_segment_sum
+
+    proto, base, wc = res
+    L, T, F = enc.n_levels, enc.max_table_rows, enc.n_features_per_level
+    D = enc.n_input_dims
+    P = 1 << (D - 1)
+    _, _, sizes, _ = enc._level_geometry()
+    pshifts = jnp.asarray(enc._pair_shifts(), jnp.int32)  # (L, P)
+    sz = jnp.asarray(sizes, jnp.int32)
+    k = base[..., None] + pshifts[:, None, :]  # (L, N, P)
+    keys = jnp.where(k >= sz[:, None, None], k - sz[:, None, None], k)
+    # (L, N, P, 2F): [w_even·g, w_odd·g] per x-adjacent corner pair
+    w2 = wc.reshape(L, -1, P, 2)
+    vals = jnp.concatenate(
+        [w2[..., 0:1] * g[:, :, None, :], w2[..., 1:2] * g[:, :, None, :]],
+        axis=-1,
+    ).reshape(L, base.shape[1] * P, 2 * F)
+    pair = batched_segment_sum(
+        keys.reshape(L, -1), vals, T, level_sizes=[int(s) for s in sizes]
+    )
+    dtable = pair[..., :F] + jnp.roll(pair[..., F:], 1, axis=1)
+    return dtable.astype(proto.dtype), None, None
+
+
+grid_dup_gather_blend.defvjp(_gdgb_fwd, _gdgb_bwd)
+
+
 @jax.custom_vjp
 def grid_gather_blend(table: jax.Array, idx: jax.Array, w: jax.Array) -> jax.Array:
     """Blend 2^D table rows per (level, sample): ``out[l,n,f] = Σ_c
@@ -82,6 +172,46 @@ def _ggb_bwd(res, g):
 
 
 grid_gather_blend.defvjp(_ggb_fwd, _ggb_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def grid_gather_blend_enc(
+    enc: "GridEncoding", table: jax.Array, idx: jax.Array, w: jax.Array
+) -> jax.Array:
+    """:func:`grid_gather_blend` with the encoding threaded through so the
+    backward can hand per-level live row counts to the segment sum (its
+    MXU-histogram work scales with the level's table rows, not the padded
+    maximum — a 2-3x saving for mixed dense/hashed pyramids). The outer
+    custom VJP shadows the inner one, so calling the wrapped op directly
+    is safe."""
+    return grid_gather_blend(table, idx, w)
+
+
+def _ggbe_fwd(enc, table, idx, w):
+    proto = jnp.zeros((0,), table.dtype)
+    return grid_gather_blend_enc(enc, table, idx, w), (proto, idx, w)
+
+
+def _ggbe_bwd(enc, res, g):
+    from ngp_tpu.ops.scatter_free import batched_segment_sum
+
+    proto, idx, w = res
+    L, T = enc.n_levels, enc.max_table_rows
+    _, _, sizes, _ = enc._level_geometry()
+    keys = idx.reshape(L, -1)
+    vals = (w[..., None] * g[:, :, None, :]).astype(jnp.float32).reshape(
+        L, keys.shape[1], -1
+    )
+    return (
+        batched_segment_sum(
+            keys, vals, T, level_sizes=[int(s) for s in sizes]
+        ).astype(proto.dtype),
+        None,
+        None,
+    )
+
+
+grid_gather_blend_enc.defvjp(_ggbe_fwd, _ggbe_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -187,10 +317,17 @@ class GridEncoding(Encoding):
     per_level_scale: float = 2.0
     grid_type: str = "Hash"  # "Hash" | "Dense" | "Tiled"
     interpolation: str = "Linear"
-    # Gather the table rows at this dtype ("bfloat16" halves the bytes the
-    # HBM row gather moves; master params stay fp32 in the optimizer, like
-    # tcnn's fp32 master + fp16 inference split, SURVEY §2.10).
+    # Gather the table rows at this dtype. NOTE: measured on v5e, bf16
+    # gathers run 2.5x SLOWER than fp32 (the gather is row-issue-bound and
+    # 16-bit layouts relayout badly) — kept only for memory-pressure cases.
     gather_dtype: str = "float32"
+    # Spatial hash for over-full levels: "tcnn" is the reference's
+    # XOR-of-primes (bit-exact .ingp interop); "additive" replaces the XOR
+    # with ADDITION mod 2^k, which makes the two x-corners of every cell
+    # adjacent table rows (dim-0 prime is 1) and unlocks the pair-gather
+    # fast path (grid_pair_gather_blend) — the TPU-first default for
+    # training configs.
+    hash_variant: str = "tcnn"  # "tcnn" | "additive"
 
     def __post_init__(self):
         assert self.n_input_dims in (2, 3), "grid encoding supports 2D/3D"
@@ -198,6 +335,11 @@ class GridEncoding(Encoding):
             raise ValueError(
                 f"unsupported interpolation {self.interpolation!r} "
                 "(Linear | Simplex)"
+            )
+        if self.hash_variant not in ("tcnn", "additive"):
+            raise ValueError(
+                f"unsupported hash_variant {self.hash_variant!r} "
+                "(tcnn | additive)"
             )
 
     @property
@@ -365,10 +507,14 @@ class GridEncoding(Encoding):
             lin = jnp.sum(cpos_c.astype(jnp.uint32) * stride, axis=-1)
             if self.grid_type == "Tiled":
                 lin = lin % size.astype(jnp.uint32)
-            # Spatial hash for levels that exceed the table.
+            # Spatial hash for levels that exceed the table. The additive
+            # variant (XOR -> +) keeps x-neighbors adjacent mod the table
+            # size, enabling the pair-gather fast path; collision quality
+            # is equivalent in practice (both are jumbled linear maps).
             h = cpos[..., 0].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[0])
             for d in range(1, D):
-                h = h ^ (cpos[..., d].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[d]))
+                term = cpos[..., d].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[d])
+                h = (h + term) if self.hash_variant == "additive" else (h ^ term)
             idx = jnp.where(use_hash, h % size.astype(jnp.uint32), lin)
             if simplex:
                 return idx.astype(jnp.int32), w_simplex
@@ -383,6 +529,95 @@ class GridEncoding(Encoding):
             jnp.asarray(scales), jnp.asarray(res), jnp.asarray(sizes), jnp.asarray(hashed)
         )
         return idx, w
+
+    @property
+    def pairs_eligible(self) -> bool:
+        """The pair-gather fast path applies to Linear interpolation with
+        the additive hash (Tiled levels can wrap mid-table, so they keep
+        the classic path)."""
+        return (
+            self.interpolation == "Linear"
+            and self.hash_variant == "additive"
+            and self.grid_type in ("Hash", "Dense")
+        )
+
+    def _dup_shifts(self):
+        """Static per-level (S2, S3) row shifts of the y/z corner offsets
+        in the corner-duplicated table view: dense levels use the linear
+        strides (r, r²); hashed levels the additive-hash primes mod the
+        table size."""
+        _, res, sizes, hashed = self._level_geometry()
+        s2 = np.where(
+            hashed, _HASH_PRIMES[1] % sizes.astype(np.uint32),
+            res.astype(np.uint32),
+        ).astype(np.int64)
+        s3 = np.where(
+            hashed, _HASH_PRIMES[2] % sizes.astype(np.uint32),
+            (res.astype(np.uint32) * res.astype(np.uint32)),
+        ).astype(np.int64)
+        return s2, s3
+
+    def _pair_shifts(self):
+        """(L, 2^(D−1)) shifts of each x-adjacent corner pair's base row
+        relative to the cell base row (mod the level size)."""
+        s2, s3 = self._dup_shifts()
+        _, _, sizes, _ = self._level_geometry()
+        if self.n_input_dims == 2:
+            sh = np.stack([np.zeros_like(s2), s2], axis=1)
+        else:
+            sh = np.stack(
+                [np.zeros_like(s2), s2, s3, s2 + s3], axis=1
+            )
+        return (sh % sizes[:, None].astype(np.int64)).astype(np.int32)
+
+    def corner_base_and_weights(self, x: jax.Array):
+        """Dup-gather addressing: returns ``base`` (L, N) int32 — the table
+        row of each cell's (0,…,0) corner — and ``wc`` (L, N, 2^D), the
+        multilinear corner weights in bit order (bit d of the corner index
+        = +1 along dim d).
+
+        Dense levels clamp per dimension at the top plane: when the floor
+        coordinate is r−1 (the scale is fractional, so the fraction can
+        still be > 0 there), the base shifts down one cell with the
+        fraction pushed to 1 — reading exactly the clamped corner value
+        the classic path would."""
+        D = self.n_input_dims
+        scales, res, sizes, hashed = self._level_geometry()
+        C = 1 << D
+        bits = np.zeros((C, D), np.float32)
+        for c in range(C):
+            for d in range(D):
+                bits[c, d] = (c >> d) & 1
+        bits = jnp.asarray(bits)  # (C, D)
+        s2np, s3np = self._dup_shifts()
+        strides = np.stack(
+            [np.ones_like(s2np), s2np, s3np], axis=1
+        )[:, :D]  # (L, D)
+
+        def per_level(scale, r, size, use_hash, stride):
+            pos = x * scale + 0.5
+            pos0 = jnp.floor(pos)
+            frac = pos - pos0
+            pos0 = pos0.astype(jnp.int32)
+            cd = jnp.clip(pos0, 0, r - 2)
+            fd = jnp.clip(frac + (pos0 - cd).astype(jnp.float32), 0.0, 1.0)
+            ce = jnp.where(use_hash, pos0, cd)
+            fe = jnp.where(use_hash, frac, fd)
+            base = jnp.sum(
+                ce.astype(jnp.uint32) * stride.astype(jnp.uint32), axis=-1
+            )
+            base = jnp.where(use_hash, base % size.astype(jnp.uint32), base)
+            wc = jnp.prod(
+                jnp.where(bits[None, :, :] == 1.0, fe[:, None, :],
+                          1.0 - fe[:, None, :]),
+                axis=-1,
+            )  # (N, C)
+            return base.astype(jnp.int32), wc
+
+        return jax.vmap(per_level)(
+            jnp.asarray(scales), jnp.asarray(res), jnp.asarray(sizes),
+            jnp.asarray(hashed), jnp.asarray(strides.astype(np.uint32)),
+        )
 
     def __call__(
         self,
@@ -418,6 +653,13 @@ class GridEncoding(Encoding):
                 )
                 out2 = jnp.where(mask[None, :], out2, 0.0)
             return out2
+        if not differentiable_inputs and self.pairs_eligible:
+            base, wc = self.corner_base_and_weights(x)
+            out = grid_dup_gather_blend(self, table, base, wc)
+            if max_level is not None:
+                level_ids = jnp.arange(self.n_levels)
+                out = jnp.where((level_ids <= max_level)[:, None, None], out, 0.0)
+            return jnp.transpose(out, (1, 0, 2)).reshape(x.shape[0], -1)
         if self.gather_dtype == "bfloat16" and not differentiable_inputs:
             table = table.astype(jnp.bfloat16)
         idx, w = self.indices_and_weights(x)
@@ -433,7 +675,7 @@ class GridEncoding(Encoding):
             )
             out = jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
         else:
-            out = grid_gather_blend(table, idx, w)
+            out = grid_gather_blend_enc(self, table, idx, w)
         if max_level is not None:
             level_ids = jnp.arange(self.n_levels)
             out = jnp.where((level_ids <= max_level)[:, None, None], out, 0.0)

@@ -1,25 +1,29 @@
 """Scatter-free dense segment reductions.
 
 XLA's scatter on TPU serializes colliding (and even non-colliding) updates
-— measured ~60 ns/element on v5e, ~2 s for a 33.5M-element scatter-add —
-which poisons every "accumulate by index" op in the frameworks's hot paths
-(hash-grid gradients, occupancy-grid splats). These helpers compute dense
-``segment_sum`` / ``segment_max`` with sorts, cumsums, and gathers only:
+— measured ~20-60 ns/element on v5e (~107 ms for the 5.2M-element hash-grid
+gradient scatter, scripts/bench_r3.py) — which poisons every "accumulate by
+index" op in the framework's hot paths (hash-grid gradients, occupancy-grid
+splats). These helpers compute dense ``segment_sum`` / ``segment_max`` with
+sorts, cumsums, matmuls, and gathers only.
 
-1. concatenate the M data rows with one sentinel "slot" row per output
-   index (slot value 0);
-2. stable-sort by (key, is_slot) so each slot lands right after its
-   segment's data;
-3. inclusive cumsum over the sorted values;
-4. stable-sort by is_slot to compact the slot rows — they emerge in key
-   order, so slot *t* is at position *t*;
-5. ``dense[t] = slot_cs[t] − slot_cs[t−1]``.
+Two strategies, chosen per level size (measured on v5e, bench_r3):
 
-Cost: two O((M+T)·log) bitonic sorts + one cumsum — ~500 ms for M=33.5M on
-v5e vs ~4 s for the scatter it replaces, fully parallel and deterministic.
+1. **MXU one-hot** (``ops/pallas/segsum.py``): MACs = M·T_pad·F — wins for
+   small tables (T ≲ 64k), zero sort traffic.
+2. **sort + histogram**: one unstable per-level sort of (key, payload),
+   a blocked cumsum, and an MXU histogram (MACs = M·T_pad, F-free) that
+   yields every table row's run boundary inside the sorted array:
+   ``ends[t] = #keys ≤ t`` ⇒ ``dense[t] = cs[ends[t]−1] − cs[ends[t−1]−1]``.
+   This replaces the round-1/2 design's T slot-sentinel rows *and* its
+   second (M+T)-element sort with one cheap matmul: measured 61.5 ms →
+   ~15 ms at the fork bench geometry (L=4, M=1.31M, T=2^19, F=4).
 
 ``segment_max`` reduces to ``segment_sum``: sort (key asc, value desc),
 zero all but each run's first row, then sum.
+
+The histogram path needs the Pallas TPU kernel, so on CPU (tests, debug)
+the original slot-sentinel construction is kept as the fallback.
 """
 
 from __future__ import annotations
@@ -29,15 +33,20 @@ import os
 import jax
 import jax.numpy as jnp
 
+# MXU one-hot direct strategy for levels whose padded table has at most
+# this many rows (MAC-time ≈ T_pad·F·M/peak beats the level's share of the
+# batched sort below this; measured crossover on v5e is ~1e5 at F=4).
+_MXU_DIRECT_MAX_T = int(os.environ.get("NGP_TPU_SEGSUM_MXU_MAX_T", 1 << 16))
+
 
 def blocked_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
     """Inclusive cumsum along the last axis with O(n) memory traffic.
 
     XLA lowers big cumsums on TPU to a log-depth shifted-add ladder
-    (~log2(n) full passes over the array — measured ~48 ms for a
-    (16, 2M) fp32 cumsum on v5e). This version does one in-block prefix
-    as a triangular matmul on the MXU, a tiny recursive scan over the
-    block totals, and one broadcast add: ~3 linear passes total.
+    (~log2(n) full passes over the array — measured 1.74 ms vs 0.23 ms for
+    this version at (4, 1.83M) fp32 on v5e). One in-block prefix as a
+    triangular matmul on the MXU, a tiny recursive scan over the block
+    totals, and one broadcast add: ~3 linear passes total.
 
     ``x`` (..., N) float32; returns the same shape/dtype.
     """
@@ -104,7 +113,9 @@ def _unpack_bf16_pairs(packed: list[jax.Array], n: int) -> list[jax.Array]:
 
 def dense_segment_sum(keys: jax.Array, vals: jax.Array, n_segments: int) -> jax.Array:
     """Sum ``vals`` (M,) or (M, F) into a dense (n_segments,)/(n_segments, F)
-    array by ``keys`` (M,) int32 ∈ [0, n_segments). Scatter-free."""
+    array by ``keys`` (M,) int32 ∈ [0, n_segments). Scatter-free
+    (slot-sentinel construction — used at modest sizes; the training hot
+    path goes through :func:`batched_segment_sum`)."""
     squeeze = vals.ndim == 1
     if squeeze:
         vals = vals[:, None]
@@ -130,58 +141,129 @@ def dense_segment_sum(keys: jax.Array, vals: jax.Array, n_segments: int) -> jax.
     return dense[:, 0] if squeeze else dense
 
 
+def _sorted_runs_to_dense(cs: jax.Array, ends: jax.Array) -> jax.Array:
+    """(M, F) cumsum of sorted payloads + (T,) inclusive key counts →
+    (T, F) dense sums. ``ends[t] = #keys ≤ t``; empty slots diff to 0."""
+    M = cs.shape[0]
+    at = jnp.take(cs, jnp.clip(ends - 1, 0, M - 1), axis=0, mode="clip")
+    slot_cs = jnp.where((ends > 0)[:, None], at, 0.0)
+    return jnp.diff(slot_cs, axis=0, prepend=jnp.zeros((1, cs.shape[1]), cs.dtype))
+
+
+def _segment_sum_sort_hist(
+    keys: jax.Array,  # (L, M) int32, level l keys in [0, sizes[l])
+    vals: jax.Array,  # (L, M, F) float32
+    sizes: list[int],
+    n_segments: int,
+    payload_dtype: str,
+) -> jax.Array:
+    """Sort + MXU-histogram strategy (TPU): one batched unstable sort of
+    (key, payload) over the L levels, a blocked cumsum, then per level an
+    MXU histogram locates every table row's run. No sentinel rows, no
+    second sort."""
+    from ngp_tpu.ops.pallas.segsum import segment_count_onehot
+
+    L, M = keys.shape
+    F = vals.shape[-1]
+    cols = [vals[:, :, f] for f in range(F)]
+    if payload_dtype == "bfloat16":
+        cols = _pack_bf16_pairs(cols)
+    s = jax.lax.sort(
+        (keys.astype(jnp.int32), *cols), num_keys=1, is_stable=False
+    )
+    sorted_cols = (
+        _unpack_bf16_pairs(list(s[1:]), F)
+        if payload_dtype == "bfloat16"
+        else list(s[1:])
+    )
+    cs = jnp.stack([blocked_cumsum(c) for c in sorted_cols], axis=-1)  # (L, M, F)
+
+    out = []
+    for l in range(L):
+        cnt = segment_count_onehot(keys[l], sizes[l])
+        ends = jnp.cumsum(cnt)
+        dense_l = _sorted_runs_to_dense(cs[l], ends)  # (sizes[l], F)
+        if sizes[l] < n_segments:
+            dense_l = jnp.pad(dense_l, ((0, n_segments - sizes[l]), (0, 0)))
+        out.append(dense_l)
+    return jnp.stack(out)
+
+
 def batched_segment_sum(
     keys: jax.Array, vals: jax.Array, n_segments: int,
     payload_dtype: str | None = None,
+    level_sizes: list[int] | tuple[int, ...] | None = None,
 ) -> jax.Array:
     """Batched scatter-free segment sum: ``keys`` (L, M) int32 ∈
     [0, n_segments), ``vals`` (L, M, F) → (L, n_segments, F) float32.
 
-    Same slot-sentinel construction as :func:`dense_segment_sum`, but the
-    L batches sort independently along the last axis — much cheaper than
-    one global sort over L·M keys (bitonic depth log²(M+T) instead of
-    log²(L·(M+T)), and better VMEM blocking). Measured on v5e: the global
-    2-sort pipeline at L=16, M=2^21 costs ~500 ms; this form ~130 ms.
+    ``level_sizes`` (optional, static): the live row count of each level's
+    table (level l keys < level_sizes[l]); tightens the per-level MXU work.
 
-    Further savings vs the global path (the TPU sort's cost scales with
-    the number of operand columns it moves):
+    Strategy dispatch (TPU): levels with small padded tables take the
+    direct MXU one-hot kernel; the rest share one batched sort + histogram
+    (module docstring). On CPU every level takes the slot-sentinel path
+    (:func:`_segment_sum_sentinel`). ``NGP_TPU_SEGSUM=sentinel`` forces the
+    fallback for A/B timing.
 
-    - sort 1 uses a *combined* key ``2·key + is_slot`` (single int32, no
-      second key column) with an unstable sort — TPU's bitonic sort is
-      deterministic, and within one (key, flag) run the payload order only
-      permutes the fp addition order of the cumsum;
-    - with ``payload_dtype="bfloat16"`` (the default; env override
-      ``NGP_TPU_SEGSUM_PAYLOAD=float32``) pairs of payload columns ride
-      the sort packed as bf16 halves of one int32 column; accumulation
-      stays fp32 after the sort. The reference accumulates these same
-      gradients as fp16 atomics with a 128× loss scale (tcnn grid
-      backward, SURVEY §2.10) — bf16-quantized addends with fp32
-      accumulation is the same precision class;
-    - sort 2 (slot extraction) is one single-operand unstable int sort:
-      flag and position packed into one key, payload cumsums *gathered*
-      at the slot positions as F-wide rows;
-    - the cumsums run through :func:`blocked_cumsum` (one MXU triangular
-      matmul + a small scan) instead of XLA's log-depth ladder.
+    Precision: addends ride the sort bf16-packed (or the MXU matmul as
+    bf16) with fp32 accumulation — the same precision class as the
+    reference's fp16 atomics with 128× loss scaling (tcnn grid backward,
+    SURVEY §2.10). ``NGP_TPU_SEGSUM_PAYLOAD=float32`` keeps exact fp32
+    addends on the sort path.
     """
     L, M = keys.shape
     F = vals.shape[-1]
     T = n_segments
     if payload_dtype is None:
         payload_dtype = os.environ.get("NGP_TPU_SEGSUM_PAYLOAD", "bfloat16")
+    sizes = list(level_sizes) if level_sizes is not None else [T] * L
 
-    # Optional MXU strategy (NGP_TPU_SEGSUM_MXU=1): the one-hot matmul
-    # kernel (ops/pallas/segsum.py) — zero sort traffic, MACs ∝ M·T·F, so
-    # only sensible for bounded tables (NGP_TPU_SEGSUM_MXU_MAX_T).
-    if (
-        os.environ.get("NGP_TPU_SEGSUM_MXU") == "1"
-        and jax.default_backend() == "tpu"
-        and T <= int(os.environ.get("NGP_TPU_SEGSUM_MXU_MAX_T", 1 << 19))
-    ):
-        from ngp_tpu.ops.pallas.segsum import segment_sum_onehot
+    use_hist = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("NGP_TPU_SEGSUM") != "sentinel"
+    )
+    if not use_hist:
+        return _segment_sum_sentinel(keys, vals, T, payload_dtype)
 
-        return jnp.stack(
-            [segment_sum_onehot(keys[l], vals[l], T) for l in range(L)]
+    from ngp_tpu.ops.pallas.segsum import segment_sum_onehot
+
+    def pad_rows(d, size):
+        return d if size >= T else jnp.pad(d, ((0, T - size), (0, 0)))
+
+    mxu_levels = [l for l in range(L) if sizes[l] <= _MXU_DIRECT_MAX_T]
+    sort_levels = [l for l in range(L) if sizes[l] > _MXU_DIRECT_MAX_T]
+
+    dense = [None] * L
+    for l in mxu_levels:
+        dense[l] = pad_rows(
+            segment_sum_onehot(keys[l], vals[l].astype(jnp.float32), sizes[l]),
+            sizes[l],
         )
+    if sort_levels:
+        sub = _segment_sum_sort_hist(
+            keys[jnp.asarray(sort_levels)],
+            vals[jnp.asarray(sort_levels)].astype(jnp.float32),
+            [sizes[l] for l in sort_levels],
+            T,
+            payload_dtype,
+        )
+        for i, l in enumerate(sort_levels):
+            dense[l] = sub[i]
+    return jnp.stack(dense)
+
+
+def _segment_sum_sentinel(
+    keys: jax.Array, vals: jax.Array, n_segments: int, payload_dtype: str
+) -> jax.Array:
+    """Round-2 slot-sentinel construction (CPU fallback / A-B reference):
+    sort 1 uses a combined key ``2·key + is_slot`` (unstable — within one
+    run the payload order only permutes the fp addition order); sort 2
+    compacts the slot rows' positions; payload cumsums are gathered at the
+    slot positions as F-wide rows."""
+    L, M = keys.shape
+    F = vals.shape[-1]
+    T = n_segments
 
     slot_keys = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (L, T))
     comb = jnp.concatenate(
@@ -214,9 +296,11 @@ def batched_segment_sum(
     (fp_sorted,) = jax.lax.sort((flagged_pos,), num_keys=1, is_stable=False)
     slot_pos = fp_sorted[:, :T]  # (L, T)
 
-    slot_cs = jnp.take_along_axis(
-        cs, slot_pos[..., None], axis=1
-    )  # (L, T, F) — one F-wide row gather per slot, not F element gathers
+    # one F-wide row gather per slot via a flat take (cheaper than
+    # take_along_axis on TPU — bench_r3)
+    flat = cs.reshape(L * (M + T), F)
+    off = jnp.arange(L, dtype=jnp.int32)[:, None] * (M + T)
+    slot_cs = jnp.take(flat, slot_pos + off, axis=0, mode="clip")  # (L, T, F)
     return jnp.diff(
         slot_cs, axis=1, prepend=jnp.zeros((L, 1, F), slot_cs.dtype)
     )

@@ -309,3 +309,64 @@ def test_level_histograms():
     for l in range(3):
         assert int(counts[l].sum()) == int(sizes[l])
     assert np.all(np.asarray(means) >= 0)
+
+
+@pytest.mark.parametrize("grid_type,log2T", [("Hash", 19), ("Hash", 12), ("Dense", 12)])
+def test_pair_gather_matches_classic_path(grid_type, log2T):
+    """The pair-gather fast path (additive hash, Linear) must reproduce the
+    classic 8-corner gather exactly in the forward and to bf16-payload
+    precision in the table gradient."""
+    from ngp_tpu.models.encodings import grid_gather_blend
+
+    enc = GridEncoding(
+        n_input_dims=3, n_levels=4, n_features_per_level=4,
+        log2_hashmap_size=log2T, base_resolution=16, per_level_scale=2.0,
+        grid_type=grid_type, hash_variant="additive",
+    )
+    assert enc.pairs_eligible
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-0.05,
+                           maxval=1.05),
+        0.0, 1.0 - 1e-6,
+    )
+    idx, w = enc.indices_and_weights(x)
+    out_classic = jnp.transpose(
+        grid_gather_blend(params["table"], idx, w), (1, 0, 2)
+    ).reshape(x.shape[0], -1)
+    out_pairs = enc(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_pairs), np.asarray(out_classic), atol=1e-5
+    )
+
+    g = jax.random.normal(jax.random.PRNGKey(2), out_pairs.shape)
+    gp = jax.grad(lambda t: jnp.sum(enc({"table": t}, x) * g))(params["table"])
+    gc = jax.grad(
+        lambda t: jnp.sum(
+            jnp.transpose(grid_gather_blend(t, idx, w), (1, 0, 2)).reshape(
+                x.shape[0], -1
+            )
+            * g
+        )
+    )(params["table"])
+    rel = float(jnp.max(jnp.abs(gp - gc))) / (float(jnp.max(jnp.abs(gc))) + 1e-12)
+    assert rel < 2e-2, rel
+
+
+def test_pair_gather_boundary_exact():
+    """Top-plane clamp trick: x = 1.0 must match the classic clamped read."""
+    from ngp_tpu.models.encodings import grid_gather_blend
+
+    enc = GridEncoding(
+        n_input_dims=3, n_levels=2, n_features_per_level=2,
+        log2_hashmap_size=10, base_resolution=4, per_level_scale=1.5,
+        grid_type="Hash", hash_variant="additive",
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.asarray([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0], [0.999999, 0.5, 0.0]])
+    idx, w = enc.indices_and_weights(x)
+    oc = jnp.transpose(
+        grid_gather_blend(params["table"], idx, w), (1, 0, 2)
+    ).reshape(3, -1)
+    np.testing.assert_allclose(np.asarray(enc(params, x)), np.asarray(oc),
+                               atol=1e-6)
