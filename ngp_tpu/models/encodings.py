@@ -35,25 +35,22 @@ _HASH_PRIMES = (1, 2654435761, 805459861)
 def grid_dup_gather_blend(
     enc: "GridEncoding", table: jax.Array, base: jax.Array, wc: jax.Array
 ) -> jax.Array:
-    """Single-row-per-sample grid blend: all 2^D corners of a cell ride ONE
-    gathered row of width 2^D·F from a corner-duplicated table view.
+    """Corner-dup grid blend: all 2^D corners of each cell ride ONE
+    gathered row of width 2^D·F from a corner-duplicated table view
+    ``dup[i] = [t[i], t[i+1], t[i+S2], t[i+S2+1], t[i+S3], …]`` (mod the
+    level size).
 
     TPU fast path for Linear interpolation with the *additive* hash: the
     additive hash ``h = x + y·P2 + z·P3 (mod size)`` makes every corner of
     a cell an affine shift of the cell's base address — corner (dx,dy,dz)
     lives at ``base + dx + dy·S2 + dz·S3 (mod size)`` with static
     per-level shifts (dense levels: S2 = r, S3 = r²; hashed: the primes
-    mod the table size). So a view ``dup[i] = [t[i], t[i+1], t[i+S2],
-    t[i+S2+1], t[i+S3], ...]`` (built per step with D concat+roll passes —
-    linear, ~0.3 ms) turns the 2^D·L row gathers per sample into **L**:
-    measured on v5e, the v5e gather is row-issue-bound (~4 ns/row almost
-    independent of width ≤ 128 B), so this is a direct 8x reduction of the
-    forward's dominant term (scripts/bench_r3.py, docs/PERF.md).
+    mod the table size), so the duplicated view is built per step with D
+    concat+roll passes — linear, ~0.3 ms, master params stay (L, T, F).
 
-    The backward keys each x-adjacent corner PAIR (P = 2^(D−1) keys per
-    sample, 2F-wide payloads — half the rows of a per-corner segment sum),
-    then folds with one shifted add: ``dtable[t] = pair[t, :F] +
-    pair[t−1 mod size, F:]``.
+    The backward keys the same P pair rows (2F-wide payloads — half the
+    rows of a per-corner segment sum), then folds with one shifted add:
+    ``dtable[t] = pair[t, :F] + pair[t−1 mod size, F:]``.
 
     Exactness: identical arithmetic to the classic per-corner path with
     the additive hash, including the dense top-plane behavior (per-dim
@@ -64,6 +61,12 @@ def grid_dup_gather_blend(
     D = enc.n_input_dims
     C = 1 << D
     N = base.shape[1]
+    # Full-corner duplication: each sample-level gathers ONE row of C·F
+    # floats. Isolated benches favor 32 B pair rows (3.4 ns/row vs ~32 ns
+    # for 128 B rows), but in the compiled train step the single-row form
+    # measures fastest (79 vs 84 ms/step at the fork config) — the wider
+    # row quarters the index traffic and the layout pressure from the
+    # downstream blend matmul hits one gather instead of four.
     s2, s3 = enc._dup_shifts()
     dups = []
     for l in range(L):
@@ -88,6 +91,16 @@ def grid_dup_gather_blend(
     )
 
 
+def _pair_keys(enc: "GridEncoding", base: jax.Array) -> jax.Array:
+    """(L, N, P) table rows of each x-adjacent corner pair's even corner:
+    ``(base + pair_shift) mod size`` with static per-level shifts."""
+    _, _, sizes, _ = enc._level_geometry()
+    pshifts = jnp.asarray(enc._pair_shifts(), jnp.int32)  # (L, P)
+    sz = jnp.asarray(sizes, jnp.int32)
+    k = base[..., None] + pshifts[:, None, :]
+    return jnp.where(k >= sz[:, None, None], k - sz[:, None, None], k)
+
+
 def _gdgb_fwd(enc, table, base, wc):
     proto = jnp.zeros((0,), table.dtype)
     return grid_dup_gather_blend(enc, table, base, wc), (proto, base, wc)
@@ -101,10 +114,7 @@ def _gdgb_bwd(enc, res, g):
     D = enc.n_input_dims
     P = 1 << (D - 1)
     _, _, sizes, _ = enc._level_geometry()
-    pshifts = jnp.asarray(enc._pair_shifts(), jnp.int32)  # (L, P)
-    sz = jnp.asarray(sizes, jnp.int32)
-    k = base[..., None] + pshifts[:, None, :]  # (L, N, P)
-    keys = jnp.where(k >= sz[:, None, None], k - sz[:, None, None], k)
+    keys = _pair_keys(enc, base)  # (L, N, P)
     # (L, N, P, 2F): [w_even·g, w_odd·g] per x-adjacent corner pair
     w2 = wc.reshape(L, -1, P, 2)
     vals = jnp.concatenate(

@@ -38,17 +38,24 @@ def copy_tree(t):
 
 
 def time_steps(engine, state0, grid, iters):
-    """Time `iters` train steps (state evolves; key differs per step)."""
+    """Time `iters` train steps (state evolves; key differs per step).
+
+    NOTE (axon tunnel): ``jax.block_until_ready`` does NOT block on this
+    platform — only value fetches do. The steps form one data-dependent
+    chain through ``state``, so a single scalar fetch at the end bounds
+    the whole chain exactly."""
     state = copy_tree(state0)
     key = jax.random.PRNGKey(77)
-    # warmup/compile
+    # warmup/compile (fetch forces execution + surfaces deferred errors)
     state, _, m = engine.train_step(state, grid, None, jax.random.fold_in(key, 999))
-    jax.block_until_ready(state.params)
+    float(m["loss"])
     t0 = time.perf_counter()
     for i in range(iters):
         state, _, m = engine.train_step(state, grid, None, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    return (time.perf_counter() - t0) / iters * 1e3, m
+    wall = float(jnp.sum(state.params["model"]["density_mlp"]["weights"][0]))
+    dt = time.perf_counter() - t0
+    assert wall == wall, "NaN weights after timed steps"
+    return dt / iters * 1e3, m
 
 
 def main():
