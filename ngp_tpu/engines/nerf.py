@@ -216,15 +216,27 @@ class NerfEngine:
     density_grid_decay: float = 0.95  # testbed.h:741
     # Occupancy-update cadence. The reference updates every
     # clamp(step/16, 1, 16) steps with an all-cells sweep before step 256
-    # (testbed.cu:4321, testbed_nerf.cu:4137). Density queries are
-    # gather-bound on TPU, so the default schedule decouples the two things
-    # an update does: *decay* (which is what prunes initially-occupied
-    # space — it needs no samples at all) runs as a cheap decay-only pass
-    # every ``grid_decay_interval`` steps, while the sampled re-query (which
-    # keeps truly occupied cells alive) runs every ``grid_update_interval``
-    # steps at ``grid_sample_divisor``-reduced counts. Set
-    # reference_prep_cadence=True for exact reference behavior.
-    reference_prep_cadence: bool = False
+    # (testbed.cu:4321, testbed_nerf.cu:4137) — the DEFAULT here since
+    # round 3. Round 2 shipped a "decoupled" schedule (cheap decay-only
+    # passes + sparse re-queries) that turned out to defeat pruning
+    # entirely: with every cell decaying in lockstep, the bitfield
+    # threshold min(0.01, mean_density) *chases* the decay and no cell
+    # ever crosses it (measured on fox: occupancy fractions bit-frozen for
+    # 320+ steps while mean_density fell 20x). The reference's all-cells
+    # sweeps are what make the value distribution bimodal — empty cells
+    # re-queried to sigma*dt ~ 0 collapse, occupied ones stay pinned — so
+    # the mean sits far above the empty mass and pruning works. The sweep
+    # costs ~100 ms on v5e (8.4M chunked density queries), paid every step
+    # only for the first ~16 steps.
+    reference_prep_cadence: bool = True
+    # Visible-cell initial density: upstream instant-ngp starts visible
+    # cells at 0 (occupancy earned from the first all-cells sweep,
+    # mark_untrained_density_grid upstream); the yblin fork starts them at
+    # 1.0, which costs ~90 decays before anything can prune. Default
+    # upstream; set True for exact fork parity.
+    fork_grid_init: bool = False
+    # Round-2 decoupled schedule knobs (reference_prep_cadence=False).
+    # Kept for A/B only — see above; NOT recommended.
     grid_update_interval: int = 16
     grid_decay_interval: int = 4
     grid_sample_divisor: int = 8  # reference uses n_cells/4 per kind
@@ -487,13 +499,14 @@ class NerfEngine:
 
     @staticmethod
     def _pow2_clamp(x: float, lo: int, hi: int) -> int:
-        # Power-of-FOUR buckets: every bucket is a separate compiled
-        # program, and compiles through the remote TPU compiler cost
-        # minutes — coarser buckets trade a little padding for far fewer
-        # compilations.
+        # Power-of-two buckets (each bucket is a separately compiled
+        # program; the persistent compile cache makes revisits free).
+        # Round 2 used power-of-FOUR to save compiles, but the coarseness
+        # costs up to 2.5x wasted sample slots right where it matters
+        # most — e.g. fox settles at mean samples/ray ~200, whose 2x
+        # target (410) rounded up to a 1024 bucket.
         b = max(int(math.ceil(max(x, 1)) - 1).bit_length(), 0)
-        p = 1 << (b + (b & 1))
-        return int(min(max(p, lo), hi))
+        return int(min(max(1 << b, lo), hi))
 
     # -- config autocompletion (reset_network, testbed.cu:3961-4005)
 
@@ -565,11 +578,12 @@ class NerfEngine:
         fork's geometry-seeded grids, ``src/testbed_nerf.cu:3440-3457``):
         its -1 cells stay culled forever, its 0 cells train normally."""
         state = occ.init_grid_state(self.grid_cfg)
+        vis0 = 1.0 if self.fork_grid_init else 0.0
         if self.data.rays is not None:
             # Camera-frustum culling is only meaningful when the cameras
             # are (testbed_nerf.cu:3448-3452): supplied-ray datasets keep
-            # every cell trainable (initially occupied, like visible cells).
-            density = jnp.ones_like(state.density)
+            # every cell trainable.
+            density = jnp.full_like(state.density, vis0)
         else:
             density = occ.mark_untrained_cells(
                 self.grid_cfg,
@@ -578,6 +592,7 @@ class NerfEngine:
                 self.data.focals,
                 self.data.pps,
                 self.resolution,
+                visible_init=vis0,
             )
         if precomputed_density is not None:
             pre = jnp.asarray(precomputed_density, jnp.float32)

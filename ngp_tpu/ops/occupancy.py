@@ -244,9 +244,17 @@ def mark_untrained_cells(
     principal_points: jax.Array,  # (I, 2) uv-space
     resolution: tuple,  # (W, H) static
     chunk: int = 1 << 18,
+    visible_init: float = 0.0,
 ) -> jax.Array:
-    """Set cells seen by no training camera to -1, visible cells to 1
-    (``mark_untrained_density_grid``, ``testbed_nerf.cu:503-592``).
+    """Set cells seen by no training camera to -1, visible cells to
+    ``visible_init`` (``mark_untrained_density_grid``,
+    ``testbed_nerf.cu:503-592``).
+
+    ``visible_init`` defaults to 0.0 like upstream instant-ngp (visible
+    cells earn occupancy from the first all-cells density sweep). The
+    yblin fork initializes them to 1.0 instead (everything-occupied
+    start) — pass 1.0 for exact fork behavior; it delays pruning by the
+    ~90 decays it takes 1.0 to fall below the 0.01 threshold.
 
     TPU-first redesign: instead of projecting 8 corners of every cell into
     every camera (a memory-bound (cells × cams × corners) tensor), each
@@ -311,10 +319,7 @@ def mark_untrained_cells(
         for s in range(0, flat.shape[0], chunk)
     ]
     vis = jnp.concatenate(out)[: C * n_cells].reshape(C, G, G, G)
-    # The reference's step-0 path (clear_visible_voxels=true) sets visible
-    # cells to density 1.0 — so training starts with all visible space
-    # occupied — and culled cells to -1.
-    return jnp.where(vis, 1.0, -1.0)
+    return jnp.where(vis, visible_init, -1.0)
 
 
 # -- fork extras: geometry-seeded occupancy priors (host-side, one-time)

@@ -125,10 +125,20 @@ def test_engine_setup(engine):
 def test_init_grid_marks_visible(engine):
     grid = engine.init_grid()
     d = np.asarray(grid.density[0])
-    # cells near the center are visible from the ring of cameras
-    assert d[16, 16, 16] == 1.0
-    # visible space starts occupied
-    assert np.asarray(grid.bitfield).sum() > 0
+    # cells near the center are visible from the ring of cameras (0.0 =
+    # trainable, upstream init); unseen cells are culled forever (-1)
+    assert d[16, 16, 16] == 0.0
+    # nothing above the trainable level at init (occupancy is earned from
+    # the first all-cells density sweep)
+    assert (d <= 0.0).all()
+    # fork parity mode: visible space starts occupied at density 1
+    from copy import copy
+
+    eng2 = copy(engine)
+    eng2.fork_grid_init = True
+    g2 = eng2.init_grid()
+    assert float(np.asarray(g2.density[0])[16, 16, 16]) == 1.0
+    assert np.asarray(g2.bitfield).sum() > 0
 
 
 @pytest.mark.slow
