@@ -195,7 +195,7 @@ def main():
         dt = time.time() - t0
         train_wall += dt
         steps += 32
-        thr_window.append((32, dt, engine.samples_per_step, engine._k))
+        thr_window.append((32, dt, engine.samples_per_step, engine._n_rays))
         if steps % 128 == 0:
             try:
                 psnr_probe = float(engine.psnr(state, grid, 0, stride=8))
@@ -221,7 +221,7 @@ def main():
     t_steps = sum(c[0] for c in tail)
     t_secs = sum(c[1] for c in tail)
     t_samples = sum(c[0] * c[2] for c in tail)
-    t_rays = sum(c[0] * (engine.batch_size // c[3]) for c in tail)
+    t_rays = sum(c[0] * c[3] for c in tail)
     samples_per_s = t_samples / max(t_secs, 1e-9)
     RESULT["value"] = round(samples_per_s, 1)
     RESULT["vs_baseline"] = round(samples_per_s / BASELINE_SAMPLES_PER_S, 4)

@@ -478,6 +478,7 @@ class NerfEngine:
         self._k = self._pow2_clamp(
             self.n_lattice, self.min_samples_per_ray, self._k_max
         )
+        self._n_rays = max(self.batch_size // self._k, self.min_rays_per_batch)
 
         self._jit_cache: dict[Any, Any] = {}
         self.use_importance_sampling = bool(ds.wants_importance_sampling)
@@ -851,8 +852,11 @@ class NerfEngine:
         if self.compaction_budget_frac < 1.0:
             from ngp_tpu.ops.compaction import compaction_plan
 
+            # The network budget derives from batch_size alone — the slot
+            # grid n_rays x k may exceed it (adapt_batch_geometry fills the
+            # budget with rays, reference NerfCounters semantics).
             nk = n_rays * k
-            budget = min(-(-int(nk * self.compaction_budget_frac) // 1024) * 1024, nk)
+            budget = min(self.samples_per_step, nk)
             if 0 < budget < nk:
                 plan = compaction_plan(
                     jnp.transpose(marched.valid).reshape(-1), budget
@@ -960,8 +964,9 @@ class NerfEngine:
         ema = ema_update(state.ema, params, self.ema_decay, state.step)
         return TrainState(state.step + 1, params, opt_state, ema)
 
-    def _train_step(self, state: TrainState, bitfield, mean_density, key, data, emap, k: int):
-        n_rays = self.batch_size // k
+    def _train_step(self, state: TrainState, bitfield, mean_density, key, data, emap, k: int, n_rays: int | None = None):
+        if n_rays is None:
+            n_rays = self.batch_size // k
         out = self.batch_loss_and_grads(
             state.params, bitfield, mean_density, key, data, k, n_rays, emap
         )
@@ -972,11 +977,12 @@ class NerfEngine:
         return self.apply_grads(state, grads), emap, metrics
 
     def train_step(self, state, grid: occ.OccupancyGridState, emap, key):
-        k = self._k
-        fn = self._jit_cache.get(("train_step", k))
+        k, n_rays = self._k, self._n_rays
+        fn = self._jit_cache.get(("train_step", k, n_rays))
         if fn is None:
-            fn = jax.jit(partial(self._train_step, k=k), donate_argnums=(0, 5))
-            self._jit_cache[("train_step", k)] = fn
+            fn = jax.jit(partial(self._train_step, k=k, n_rays=n_rays),
+                         donate_argnums=(0, 5))
+            self._jit_cache[("train_step", k, n_rays)] = fn
         return fn(state, grid.bitfield, grid.mean_density, key, self.data, emap)
 
     def rebuild_error_map(self, emap: ErrorMapState) -> ErrorMapState:
@@ -1027,6 +1033,18 @@ class NerfEngine:
             )
             if with_margin < self._k:
                 self._k = with_margin
+        # Ray count fills the compact budget with REAL samples (the
+        # reference adapts rays_per_batch so compacted samples ~ 2^18,
+        # NerfCounters::update_after_training testbed_nerf.cu:3583-3609).
+        # Before this, rays were pinned at batch_size/K, which left the
+        # network running on ~50% padding once K's 2x headroom kicked in.
+        # Nearest power of two; slot grid capped at 2x batch_size (march
+        # cost scales with n_rays x n_lattice).
+        want = self.samples_per_step / mean_total
+        n_rays = 1 << int(round(math.log2(max(want, 1.0))))
+        n_rays = max(self.min_rays_per_batch, min(
+            n_rays, (2 * self.batch_size) // self._k))
+        self._n_rays = n_rays
 
     # -- occupancy maintenance (training_prep_nerf)
 
@@ -1139,7 +1157,7 @@ class NerfEngine:
                 self.meters.update_window(
                     win_steps,
                     float(metrics["measured_samples"]) * win_steps,
-                    float(self.batch_size // self._k) * win_steps,
+                    float(self._n_rays) * win_steps,
                     now - win_t0,
                 )
                 if logger is not None:
@@ -1172,7 +1190,8 @@ class NerfEngine:
         return state.ema.params if self.ema_decay is not None else state.params
 
     def _render_chunk(self, params, bitfield, origins, dirs, crop_min,
-                      crop_max, mode: str = "shade"):
+                      crop_max, mode: str = "shade",
+                      min_transmittance: float | None = None):
         """One fixed-size chunk of rays → (rgb, depth, opacity).
 
         ``mode`` selects the reference's debug render modes
@@ -1300,7 +1319,8 @@ class NerfEngine:
             ).reshape(-1, 3)[:n].reshape(N, K, 3)
         comp = composite(
             rgb, sigma, marched.dt, marched.t, marched.valid,
-            self.min_transmittance_render,
+            self.min_transmittance_render
+            if min_transmittance is None else min_transmittance,
         )
         if mode == "depth":
             return (
@@ -1336,13 +1356,18 @@ class NerfEngine:
         return out_rgb, comp.depth, comp.opacity
 
     def render_rays(self, state, grid, origins, dirs, chunk: int = 1 << 16,
-                    mode: str = "shade"):
+                    mode: str = "shade",
+                    min_transmittance: float | None = None):
         """Render arbitrary rays in fixed-size chunks; returns (rgb, depth,
-        opacity) arrays shaped like the inputs."""
-        fn = self._jit_cache.get(("render", chunk, mode))
+        opacity) arrays shaped like the inputs. ``min_transmittance``
+        overrides the engine default (the reference eval protocol uses
+        1e-4, testbed.h:791 vs run.py eval) without mutating engine state."""
+        key = ("render", chunk, mode, min_transmittance)
+        fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(self._render_chunk, mode=mode))
-            self._jit_cache[("render", chunk, mode)] = fn
+            fn = jax.jit(partial(self._render_chunk, mode=mode,
+                                 min_transmittance=min_transmittance))
+            self._jit_cache[key] = fn
         params = self.inference_params(state)
         crop = getattr(self, "render_aabb", None)
         cmin = jnp.asarray(
@@ -1455,6 +1480,8 @@ class NerfEngine:
         aperture_size: float = 0.0,
         focus_z: float = 1.0,
         pixel_stride: int = 1,
+        lens=None,
+        min_transmittance: float | None = None,
     ):
         """Render an arbitrary camera view: ``xform`` (3,4) camera-to-world,
         ``focal`` (fx, fy) in pixels at the given resolution, ``pp``
@@ -1500,12 +1527,13 @@ class NerfEngine:
             # with this view's W/H instead.
             x = (uv[:, 0] - pp_b[:, 0]) * W / focal_b[:, 0]
             y = (uv[:, 1] - pp_b[:, 1]) * H / focal_b[:, 1]
-            params_l = jnp.asarray(self.lens.params, jnp.float32)
-            if self.lens.mode == LENS_OPENCV:
+            lens_eff = self.lens if lens is None else lens
+            params_l = jnp.asarray(lens_eff.params, jnp.float32)
+            if lens_eff.mode == LENS_OPENCV:
                 x, y = iterative_undistortion(
                     opencv_lens_distortion_delta, params_l, x, y
                 )
-            elif self.lens.mode == LENS_OPENCV_FISHEYE:
+            elif lens_eff.mode == LENS_OPENCV_FISHEYE:
                 x, y = iterative_undistortion(
                     opencv_fisheye_lens_distortion_delta, params_l, x, y
                 )
@@ -1525,7 +1553,9 @@ class NerfEngine:
                 o = o + offset
                 d = (lookat - o) / focus_z
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            rgb, depth, opa = self.render_rays(state, grid, o, d)
+            rgb, depth, opa = self.render_rays(
+                state, grid, o, d, min_transmittance=min_transmittance
+            )
             rgb_lin = srgb_to_linear(rgb) if self.rgb_act == "Logistic" else rgb
             acc_rgb = rgb_lin if acc_rgb is None else acc_rgb + rgb_lin
             acc_depth = depth if acc_depth is None else acc_depth + depth
@@ -1606,68 +1636,67 @@ class NerfEngine:
         ``test_dataset`` is a ``NerfDataset`` (e.g. from
         ``load_nerf(test_transforms.json)``); geometry must share the
         training dataset's scale/offset convention, which ``load_nerf``
-        guarantees for same-scene transform files."""
+        guarantees for same-scene transform files. Rays use the TEST
+        dataset's lens model (a distorted-lens test set renders with its
+        own undistortion, not the training set's); the reference eval's
+        1e-4 min transmittance is passed per-call, not by mutating engine
+        state."""
         from ngp_tpu.utils import metrics as M
 
-        old_mt = self.min_transmittance_render
-        self.min_transmittance_render = 1e-4  # reference eval setting
-        self._jit_cache.pop(("render", 1 << 16, "shade"), None)
-        try:
-            n_views = test_dataset.images.shape[0]
-            if max_views is not None:
-                n_views = min(n_views, max_views)
-            per_view = []
-            W, H = test_dataset.resolution
-            for i in range(n_views):
-                # pixel_stride keeps strided eval rays registration-exact
-                # against the image[::stride] ground truth (full-res focal,
-                # true pixel centers)
-                rgb, _, _ = self.render_view(
-                    state,
-                    grid,
-                    test_dataset.xforms[i, 0],
-                    test_dataset.focal_lengths[i],
-                    test_dataset.principal_points[i],
-                    width=W,
-                    height=H,
-                    spp=spp,
-                    pixel_stride=stride,
-                )
-                pred = np.clip(np.asarray(rgb), 0.0, 1.0)
-                img = test_dataset.images[i][::stride, ::stride].astype(np.float32)
-                if test_dataset.images.dtype == np.uint8:
-                    img = img / 255.0
-                ref = np.clip(img[..., :3] * img[..., 3:4], 0.0, 1.0)
-                m = M.mse(pred, ref)
-                entry = {
-                    "view": i,
-                    "mse": m,
-                    "psnr": M.psnr_from_mse(m),
-                    "ssim": M.ssim(pred, ref),
-                }
-                if compute_flip:
-                    entry["flip"] = M.flip(ref, pred)
-                per_view.append(entry)
-                if i == 0 and save_first_to:
-                    from ngp_tpu.data.exr import write_exr  # noqa: F401
-                    import PIL.Image
-
-                    arr = (pred * 255).astype(np.uint8)
-                    PIL.Image.fromarray(arr).save(save_first_to)
-            res = {
-                "n_views": len(per_view),
-                "psnr": float(np.mean([e["psnr"] for e in per_view])),
-                "min_psnr": float(np.min([e["psnr"] for e in per_view])),
-                "max_psnr": float(np.max([e["psnr"] for e in per_view])),
-                "ssim": float(np.mean([e["ssim"] for e in per_view])),
-                "per_view": per_view,
+        n_views = test_dataset.images.shape[0]
+        if max_views is not None:
+            n_views = min(n_views, max_views)
+        per_view = []
+        W, H = test_dataset.resolution
+        for i in range(n_views):
+            # pixel_stride keeps strided eval rays registration-exact
+            # against the image[::stride] ground truth (full-res focal,
+            # true pixel centers)
+            rgb, _, _ = self.render_view(
+                state,
+                grid,
+                test_dataset.xforms[i, 0],
+                test_dataset.focal_lengths[i],
+                test_dataset.principal_points[i],
+                width=W,
+                height=H,
+                spp=spp,
+                pixel_stride=stride,
+                lens=test_dataset.lens,
+                min_transmittance=1e-4,  # reference eval setting
+            )
+            pred = np.clip(np.asarray(rgb), 0.0, 1.0)
+            img = test_dataset.images[i][::stride, ::stride].astype(np.float32)
+            if test_dataset.images.dtype == np.uint8:
+                img = img / 255.0
+            ref = np.clip(img[..., :3] * img[..., 3:4], 0.0, 1.0)
+            m = M.mse(pred, ref)
+            entry = {
+                "view": i,
+                "mse": m,
+                "psnr": M.psnr_from_mse(m),
+                "ssim": M.ssim(pred, ref),
             }
             if compute_flip:
-                res["flip"] = float(np.mean([e["flip"] for e in per_view]))
-            return res
-        finally:
-            self.min_transmittance_render = old_mt
-            self._jit_cache.pop(("render", 1 << 16, "shade"), None)
+                entry["flip"] = M.flip(ref, pred)
+            per_view.append(entry)
+            if i == 0 and save_first_to:
+                from ngp_tpu.data.exr import write_exr  # noqa: F401
+                import PIL.Image
+
+                arr = (pred * 255).astype(np.uint8)
+                PIL.Image.fromarray(arr).save(save_first_to)
+        res = {
+            "n_views": len(per_view),
+            "psnr": float(np.mean([e["psnr"] for e in per_view])),
+            "min_psnr": float(np.min([e["psnr"] for e in per_view])),
+            "max_psnr": float(np.max([e["psnr"] for e in per_view])),
+            "ssim": float(np.mean([e["ssim"] for e in per_view])),
+            "per_view": per_view,
+        }
+        if compute_flip:
+            res["flip"] = float(np.mean([e["flip"] for e in per_view]))
+        return res
 
     def psnr(self, state, grid, image_index: int, stride: int = 1) -> float:
         """PSNR of a rendered training view vs the stored image, compared in
