@@ -56,29 +56,58 @@ def grid_dup_gather_blend(
     the additive hash, including the dense top-plane behavior (per-dim
     clamp with the fraction pushed to 1 reads the same clamped corner
     value). Gradients flow to ``table`` only.
+
+    Row format: XLA's TPU row gather is issue-bound at ~10 ns/row with a
+    ~0.16 ns/byte width term (device-trace-measured, bench_gather6 — the
+    earlier 3-5 ns/row numbers came from ``block_until_ready``, which does
+    not block on this platform). Halving the row from 64 B to 32 B by
+    packing feature pairs as bf16 in int32 lanes cuts the gather ~1.6x;
+    the unpack is trivial VPU work. bf16 features are the same precision
+    class as the reference's fp16 inference params (tcnn Trainer keeps
+    fp16 inference weights — SURVEY §2.10); the master table and all
+    gradient accumulation stay fp32. ``enc.dup_gather_dtype = "float32"``
+    keeps full-precision rows.
     """
     L, T, F = table.shape
     D = enc.n_input_dims
     C = 1 << D
     N = base.shape[1]
-    # Full-corner duplication: each sample-level gathers ONE row of C·F
-    # floats. Isolated benches favor 32 B pair rows (3.4 ns/row vs ~32 ns
-    # for 128 B rows), but in the compiled train step the single-row form
-    # measures fastest (79 vs 84 ms/step at the fork config) — the wider
-    # row quarters the index traffic and the layout pressure from the
-    # downstream blend matmul hits one gather instead of four.
+    packed = enc.dup_gather_dtype == "packed_bf16" and F % 2 == 0
+    if packed:
+        # (L, T, F) f32 -> (L, T, F/2) int32 of adjacent-feature bf16 pairs
+        u = jax.lax.bitcast_convert_type(
+            table.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        tbl = (u[..., 0::2] | (u[..., 1::2] << 16)).astype(jnp.int32)
+    else:
+        tbl = table
+    Fp = tbl.shape[-1]  # columns per corner in the dup view
+    # Full-corner duplication: each sample-level gathers ONE row of C·Fp
+    # columns (one row of 2^D corners beats 2^(D-1) pair-rows in the
+    # compiled step: the row-issue floor dominates, so fewer/wider wins).
     s2, s3 = enc._dup_shifts()
     dups = []
     for l in range(L):
-        d = jnp.concatenate([table[l], jnp.roll(table[l], -1, axis=0)], -1)
+        d = jnp.concatenate([tbl[l], jnp.roll(tbl[l], -1, axis=0)], -1)
         if D >= 2:
             d = jnp.concatenate([d, jnp.roll(d, -int(s2[l]), axis=0)], -1)
         if D >= 3:
             d = jnp.concatenate([d, jnp.roll(d, -int(s3[l]), axis=0)], -1)
         dups.append(d)
-    flat = jnp.stack(dups).reshape(L * T, C * F)
+    flat = jnp.stack(dups).reshape(L * T, C * Fp)
     off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
     rows = jnp.take(flat, (base + off).reshape(-1), axis=0, mode="clip")
+    if packed:
+        u = rows.reshape(L, N, C * Fp).astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        )
+        hi = jax.lax.bitcast_convert_type(
+            (u >> 16).astype(jnp.uint16), jnp.bfloat16
+        )
+        # (L, N, C·F/2, 2) -> (L, N, C·F) restores feature-minor order
+        rows = jnp.stack([lo, hi], axis=-1).reshape(L, N, C * F)
+        rows = rows.astype(jnp.float32)
     # Blend as one wide (N, C·F) multiply + a tiny selection matmul —
     # narrow-minor elementwise chains (·, C, F) run at a fraction of lane
     # width on TPU.
@@ -279,6 +308,10 @@ def _pallas_eligible(enc: "GridEncoding") -> bool:
         return False
     return (
         enc.grid_type in ("Hash", "Dense")
+        # the kernel hard-codes the XOR-of-primes hash; with
+        # hash_variant="additive" its backward (indices_and_weights)
+        # would address different rows than the forward
+        and enc.hash_variant == "tcnn"
         and enc.interpolation == "Linear"
         and enc.n_features_per_level in (1, 2, 4, 8)
         and (enc.max_table_rows * enc.n_features_per_level) % 128 == 0
@@ -338,6 +371,12 @@ class GridEncoding(Encoding):
     # fast path (grid_pair_gather_blend) — the TPU-first default for
     # training configs.
     hash_variant: str = "tcnn"  # "tcnn" | "additive"
+    # Dup-gather row format (additive-hash fast path only): "packed_bf16"
+    # gathers 32 B rows of bf16 feature pairs packed in int32 lanes —
+    # ~1.6x faster than 64 B f32 rows at the same row count (the gather is
+    # row-issue-bound; see grid_dup_gather_blend). Same precision class as
+    # tcnn's fp16 inference params; master table + gradients stay fp32.
+    dup_gather_dtype: str = "packed_bf16"  # "packed_bf16" | "float32"
 
     def __post_init__(self):
         assert self.n_input_dims in (2, 3), "grid encoding supports 2D/3D"
@@ -647,6 +686,13 @@ class GridEncoding(Encoding):
         analytic normals, camera refinement) — plain autodiff, slower
         backward."""
         table = params["table"]
+        if not differentiable_inputs and self.pairs_eligible:
+            base, wc = self.corner_base_and_weights(x)
+            out = grid_dup_gather_blend(self, table, base, wc)
+            if max_level is not None:
+                level_ids = jnp.arange(self.n_levels)
+                out = jnp.where((level_ids <= max_level)[:, None, None], out, 0.0)
+            return jnp.transpose(out, (1, 0, 2)).reshape(x.shape[0], -1)
         if (
             not differentiable_inputs
             and _pallas_eligible(self)
@@ -663,13 +709,6 @@ class GridEncoding(Encoding):
                 )
                 out2 = jnp.where(mask[None, :], out2, 0.0)
             return out2
-        if not differentiable_inputs and self.pairs_eligible:
-            base, wc = self.corner_base_and_weights(x)
-            out = grid_dup_gather_blend(self, table, base, wc)
-            if max_level is not None:
-                level_ids = jnp.arange(self.n_levels)
-                out = jnp.where((level_ids <= max_level)[:, None, None], out, 0.0)
-            return jnp.transpose(out, (1, 0, 2)).reshape(x.shape[0], -1)
         if self.gather_dtype == "bfloat16" and not differentiable_inputs:
             table = table.astype(jnp.bfloat16)
         idx, w = self.indices_and_weights(x)

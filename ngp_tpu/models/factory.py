@@ -58,6 +58,7 @@ def create_encoding(n_input_dims: int, cfg: dict, octree=None) -> Encoding:
             # the reference's XOR hash (bit-exact .ingp interop).
             hash_variant=cfg.get("hash_variant", "tcnn"),
             gather_dtype=cfg.get("gather_dtype", "float32"),
+            dup_gather_dtype=cfg.get("dup_gather_dtype", "packed_bf16"),
         )
     if otype == "sphericalharmonics":
         return SphericalHarmonicsEncoding(

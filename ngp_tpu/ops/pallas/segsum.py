@@ -132,6 +132,81 @@ def segment_sum_onehot(
     return dense[:n_segments]
 
 
+def _kernel_count_batched(keys_ref, out_ref, *, HB: int, sc: int):
+    b = pl.program_id(1)
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    k = keys_ref[0]  # (8, sc/8) int32 — natural row-major layout, no copy
+    hi = (k >> 7) - b * HB
+    lo = k & (_Q - 1)
+    scq = sc // 8
+    acc = jnp.zeros((HB, _Q), jnp.int32)
+    for r in range(8):
+        # int8 one-hots: 4 int8 lanes per 32-bit VPU lane for the build,
+        # and the int8 MXU path (2x bf16 rate) for the count matmul.
+        ohT = (
+            jax.lax.broadcasted_iota(jnp.int32, (HB, scq), 0) == hi[r : r + 1, :]
+        ).astype(jnp.int8)
+        wT = (
+            jax.lax.broadcasted_iota(jnp.int32, (_Q, scq), 0) == lo[r : r + 1, :]
+        ).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            ohT, wT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+    out_ref[0] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_segments", "sc", "hb", "interpret")
+)
+def segment_count_onehot_batched(
+    keys: jax.Array,  # (L, M) int32 in [0, n_segments)
+    n_segments: int,
+    sc: int = 2048,
+    hb: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dense (L, n_segments) int32 histogram on the MXU — the batched int8
+    successor of :func:`segment_count_onehot` (device-trace-measured on
+    v5e: 0.88 ms/level at M=524k, T=2^18 vs 1.64 ms + a 0.42 ms layout
+    copy for the bf16 single-level kernel). Keys ride in their natural
+    row-major layout (no (M, 1) relayout), the one-hot compares run at 4
+    int8 lanes per 32-bit VPU lane, and the count matmul takes the int8
+    MXU path (2x bf16 rate). Counts are exact int32."""
+    L, M = keys.shape
+    T_pad = -(-n_segments // _Q) * _Q
+    H = T_pad // _Q
+    HB = min(hb, H)
+    n_hi = -(-H // HB)
+    m_pad = (-M) % sc
+    if m_pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((L, m_pad), n_hi * HB * _Q, jnp.int32)], axis=1
+        )  # hi past every block -> zero one-hot row
+    Mp = keys.shape[1]
+    n_chunks = Mp // sc
+    out = pl.pallas_call(
+        functools.partial(_kernel_count_batched, HB=HB, sc=sc),
+        grid=(L, n_hi, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, sc // 8), lambda l, b, c: (l, c, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, HB, _Q), lambda l, b, c: (l, b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, n_hi * HB, _Q), jnp.int32),
+        interpret=interpret,
+    )(keys.reshape(L, Mp // (sc // 8), sc // 8))
+    return out.reshape(L, -1)[:, :n_segments]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_segments", "sc", "hb", "interpret")
 )

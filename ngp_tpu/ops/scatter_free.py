@@ -32,6 +32,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # MXU one-hot direct strategy for levels whose padded table has at most
 # this many rows (MAC-time ≈ T_pad·F·M/peak beats the level's share of the
@@ -158,10 +159,10 @@ def _segment_sum_sort_hist(
     payload_dtype: str,
 ) -> jax.Array:
     """Sort + MXU-histogram strategy (TPU): one batched unstable sort of
-    (key, payload) over the L levels, a blocked cumsum, then per level an
-    MXU histogram locates every table row's run. No sentinel rows, no
-    second sort."""
-    from ngp_tpu.ops.pallas.segsum import segment_count_onehot
+    (key, payload) over the L levels, a blocked cumsum, then one batched
+    int8 MXU histogram locates every table row's run. No sentinel rows,
+    no second sort."""
+    from ngp_tpu.ops.pallas.segsum import segment_count_onehot_batched
 
     L, M = keys.shape
     F = vals.shape[-1]
@@ -178,15 +179,34 @@ def _segment_sum_sort_hist(
     )
     cs = jnp.stack([blocked_cumsum(c) for c in sorted_cols], axis=-1)  # (L, M, F)
 
-    out = []
-    for l in range(L):
-        cnt = segment_count_onehot(keys[l], sizes[l])
-        ends = jnp.cumsum(cnt)
-        dense_l = _sorted_runs_to_dense(cs[l], ends)  # (sizes[l], F)
-        if sizes[l] < n_segments:
-            dense_l = jnp.pad(dense_l, ((0, n_segments - sizes[l]), (0, 0)))
-        out.append(dense_l)
-    return jnp.stack(out)
+    # One batched histogram for all levels (a level smaller than the max
+    # size just counts zeros past its live rows — its ends stay correct),
+    # then one batched cumsum; counts are < 2^24 so fp32 blocked_cumsum is
+    # exact.
+    Tmax = max(sizes)
+    cnt = segment_count_onehot_batched(keys, Tmax)  # (L, Tmax) int32
+    ends = blocked_cumsum(cnt.astype(jnp.float32)).astype(jnp.int32)
+
+    # One flat F-wide row gather for every level's run ends. Rows past a
+    # level's live size see ends == M (the cumsum saturates), which would
+    # diff to junk — the static live-row mask zeroes them.
+    flat = cs.reshape(L * M, F)
+    offs = (jnp.arange(L, dtype=jnp.int32) * M)[:, None]
+    at = jnp.take(
+        flat, (jnp.clip(ends - 1, 0, M - 1) + offs).reshape(-1), axis=0,
+        mode="clip",
+    ).reshape(L, Tmax, F)
+    live = jnp.asarray(
+        np.arange(Tmax)[None, :] < np.asarray(sizes)[:, None]
+    )  # (L, Tmax) static
+    slot_cs = jnp.where((live & (ends > 0))[..., None], at, 0.0)
+    dense = jnp.diff(
+        slot_cs, axis=1, prepend=jnp.zeros((L, 1, F), slot_cs.dtype)
+    )
+    dense = jnp.where(live[..., None], dense, 0.0)
+    if Tmax < n_segments:
+        dense = jnp.pad(dense, ((0, 0), (0, n_segments - Tmax), (0, 0)))
+    return dense
 
 
 def batched_segment_sum(
