@@ -216,6 +216,79 @@ def all_cells(cfg: OccupancyGridConfig, key: jax.Array):
     return flat_idx, pos
 
 
+def stride_cells(
+    cfg: OccupancyGridConfig,
+    key: jax.Array,
+    phase: jax.Array,  # scalar int32 — which residue class this update hits
+    n_strides: int,
+):
+    """Deterministic round-robin coverage for the regular (non-warmup)
+    occupancy refresh: residue class ``phase % n_strides`` of every
+    cascade's flat cell index, jittered within the cell.
+
+    TPU-first replacement for the reference's probe sampling
+    (``generate_grid_samples_nerf_nonuniform``, ``testbed_nerf.cu:635-676``):
+    the reference draws random cells with up-to-10 occupancy-biased probe
+    gathers per sample — on TPU the probe gathers alone are issue-bound at
+    ~10 ns/row (≈450 ms measured at the reference's 2·128³·C sample count),
+    and the scattered splat needs a segment-max sort. A strided residue
+    class needs NO gathers to choose cells and its splat is a dense lane
+    select (see :func:`place_stride`). Every cell of every cascade is
+    re-queried exactly once per ``n_strides`` updates — lower variance than
+    the reference's probabilistic coverage; the occupancy-biased extra
+    refresh rate is unnecessary because EMA-max keeps occupied cells alive
+    for ~90 decays between refreshes.
+
+    Returns ``pos`` ((C·n_cells/n_strides), 3) scene-space jittered
+    positions, ordered cascade-major then by stride index ``j`` (flat cell
+    = j·n_strides + phase).
+    """
+    G, C = cfg.grid_size, cfg.n_cascades
+    n_per = cfg.n_cells // n_strides
+    j = jnp.arange(n_per, dtype=jnp.int32)
+    cell_flat = j * n_strides + phase.astype(jnp.int32)  # (n_per,)
+    cx = cell_flat // (G * G)
+    cy = (cell_flat // G) % G
+    cz = cell_flat % G
+    cell_xyz = jnp.stack([cx, cy, cz], axis=-1)  # (n_per, 3)
+    cell_xyz = jnp.broadcast_to(cell_xyz[None], (C, n_per, 3)).reshape(-1, 3)
+    mip = jnp.repeat(jnp.arange(C, dtype=jnp.int32), n_per)
+    jitter = jax.random.uniform(key, (C * n_per, 3))
+    return density_grid_cell_positions(cfg, cell_xyz, mip, jitter)
+
+
+def place_stride(
+    cfg: OccupancyGridConfig,
+    values: jax.Array,  # (C·n_cells/n_strides,) from stride_cells' order
+    phase: jax.Array,
+    n_strides: int,
+) -> jax.Array:
+    """Dense splat of :func:`stride_cells` values: (C, G, G, G) with the
+    residue class' cells set and everything else 0 — one elementwise lane
+    select, no scatter, no sort."""
+    G, C = cfg.grid_size, cfg.n_cascades
+    n_per = cfg.n_cells // n_strides
+    v = values.reshape(C, n_per, 1)
+    lanes = jnp.arange(n_strides, dtype=jnp.int32)[None, None, :]
+    full = jnp.where(lanes == phase.astype(jnp.int32), v, 0.0)
+    return full.reshape(C, G, G, G)
+
+
+def update_grid_state_dense(
+    cfg: OccupancyGridConfig,
+    state: OccupancyGridState,
+    sampled_density_dense: jax.Array,  # (C, G, G, G) activated density, 0 = unsampled
+) -> OccupancyGridState:
+    """:func:`update_grid_state` for updates whose splat is already dense
+    (stride-residue refresh, all-cells warmup sweeps) — skips the
+    segment-max entirely."""
+    tmp = sampled_density_dense * MIN_CONE_STEPSIZE
+    density = ema_update_density(state.density, tmp, cfg.decay)
+    mean_density = jnp.mean(jnp.maximum(density[0], 0.0))
+    bitfield = build_bitfield(density, mean_density)
+    return OccupancyGridState(density, bitfield, mean_density, state.ema_step + 1)
+
+
 def update_grid_state(
     cfg: OccupancyGridConfig,
     state: OccupancyGridState,
