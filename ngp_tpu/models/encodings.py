@@ -141,8 +141,49 @@ def _gdgb_bwd(enc, res, g):
     proto, base, wc = res
     L, T, F = enc.n_levels, enc.max_table_rows, enc.n_features_per_level
     D = enc.n_input_dims
-    P = 1 << (D - 1)
     _, _, sizes, _ = enc._level_geometry()
+    N = base.shape[1]
+    if os.environ.get("NGP_TPU_DUP_BWD", "pairs") == "corners":
+        # EXPERIMENTAL (NGP_TPU_DUP_BWD=corners): ONE segment-sum key
+        # per (level, sample) — the cell's base row — with all 2^D corner
+        # contributions as a C·F-wide payload, then a static-shift fold
+        # dtable[t] = Σ_c q_c[(t − δ_c) mod size]. 4× fewer sort rows
+        # than the pair construction, BUT measured SLOWER on v5e: XLA's
+        # TPU sort cost explodes beyond ~4 operands (key + 2 packed
+        # payload cols sorts (8, 655360) in 7.8 ms; key + 8 packed cols
+        # sorts (6, 163840) in 74.6 ms), and the C·F=16 payload needs 8
+        # packed columns. Kept for A/B and for any future sort that
+        # moves payload by permutation instead of by column.
+        C = 1 << D
+        vals = (wc[..., None] * g[:, :, None, :]).reshape(L, N, C * F)
+        q = batched_segment_sum(
+            base, vals, T, level_sizes=[int(s) for s in sizes]
+        )
+        shifts = enc._corner_shifts()  # (L, C) static
+        # Fold in a T-minor layout: ops on (F, T) slabs use full vector
+        # lanes; the natural (T, C·F) orientation would run every roll at
+        # C·F/128 lane efficiency (measured ~450 ms vs ~3 ms for the
+        # whole fold).
+        qT = jnp.transpose(q, (0, 2, 1))  # (L, C·F, T)
+        folded = []
+        for l in range(L):
+            size = int(sizes[l])
+            ql = qT[l][:, :size]  # (C·F, size)
+            acc = ql[0:F]
+            for c in range(1, C):
+                acc = acc + jnp.roll(
+                    ql[c * F:(c + 1) * F], int(shifts[l, c]), axis=1
+                )
+            folded.append(
+                jnp.pad(acc, ((0, 0), (0, T - size))) if size < T else acc
+            )
+        return (
+            jnp.transpose(jnp.stack(folded), (0, 2, 1)).astype(proto.dtype),
+            None,
+            None,
+        )
+
+    P = 1 << (D - 1)
     keys = _pair_keys(enc, base)  # (L, N, P)
     # (L, N, P, 2F): [w_even·g, w_odd·g] per x-adjacent corner pair
     w2 = wc.reshape(L, -1, P, 2)
@@ -605,6 +646,21 @@ class GridEncoding(Encoding):
             (res.astype(np.uint32) * res.astype(np.uint32)),
         ).astype(np.int64)
         return s2, s3
+
+    def _corner_shifts(self):
+        """(L, 2^D) static row shifts of every cell corner relative to the
+        cell base row (mod the level size): corner c (bit d = +1 along dim
+        d) lives at ``base + (c&1)·1 + ((c>>1)&1)·S2 + ((c>>2)&1)·S3``."""
+        s2, s3 = self._dup_shifts()
+        _, _, sizes, _ = self._level_geometry()
+        D = self.n_input_dims
+        C = 1 << D
+        sh = np.zeros((self.n_levels, C), np.int64)
+        for c in range(C):
+            sh[:, c] = (c & 1) * 1 + ((c >> 1) & 1) * s2
+            if D >= 3:
+                sh[:, c] += ((c >> 2) & 1) * s3
+        return (sh % sizes[:, None].astype(np.int64)).astype(np.int64)
 
     def _pair_shifts(self):
         """(L, 2^(D−1)) shifts of each x-adjacent corner pair's base row

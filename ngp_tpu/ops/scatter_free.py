@@ -255,9 +255,15 @@ def batched_segment_sum(
     sort_levels = [l for l in range(L) if sizes[l] > _MXU_DIRECT_MAX_T]
 
     dense = [None] * L
+    # chunk size scales down with payload width so the kernel's (sc, F·128)
+    # bf16 one-hot block stays within v5e's 16 MB VMEM (F=16 at sc=2048
+    # allocates 8 MB for that block alone and OOMs the scoped stack)
+    sc = max(512, (2048 * 4) // max(F, 4))
     for l in mxu_levels:
         dense[l] = pad_rows(
-            segment_sum_onehot(keys[l], vals[l].astype(jnp.float32), sizes[l]),
+            segment_sum_onehot(
+                keys[l], vals[l].astype(jnp.float32), sizes[l], sc=sc
+            ),
             sizes[l],
         )
     if sort_levels:

@@ -370,3 +370,39 @@ def test_pair_gather_boundary_exact():
     ).reshape(3, -1)
     np.testing.assert_allclose(np.asarray(enc(params, x)), np.asarray(oc),
                                atol=1e-6)
+
+
+def test_dup_backward_corners_matches_pairs():
+    """The P=1 corner-fold backward (one segment-sum key per sample, 2^D·F
+    payload, static-shift fold) must match the round-3 pair construction
+    on the same inputs — both reduce the same per-corner contributions."""
+    import os
+
+    from ngp_tpu.models.encodings import GridEncoding
+
+    enc = GridEncoding(
+        n_input_dims=3, n_levels=3, n_features_per_level=2,
+        log2_hashmap_size=12, base_resolution=8, per_level_scale=1.7,
+        grid_type="Hash", hash_variant="additive",
+    )
+    assert enc.pairs_eligible
+    params = enc.init(jax.random.PRNGKey(3))
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(4), (513, 3)), 0, 1 - 1e-6)
+    g = jax.random.normal(jax.random.PRNGKey(5), (513, enc.n_output_dims))
+
+    def table_grad():
+        return jax.grad(lambda t: jnp.sum(enc({"table": t}, x) * g))(
+            params["table"]
+        )
+
+    os.environ["NGP_TPU_SEGSUM_PAYLOAD"] = "float32"
+    try:
+        os.environ["NGP_TPU_DUP_BWD"] = "corners"
+        gc = table_grad()
+        os.environ["NGP_TPU_DUP_BWD"] = "pairs"
+        gp = table_grad()
+    finally:
+        os.environ.pop("NGP_TPU_DUP_BWD", None)
+        del os.environ["NGP_TPU_SEGSUM_PAYLOAD"]
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), rtol=1e-4,
+                               atol=1e-5)
