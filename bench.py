@@ -182,19 +182,33 @@ def main():
     # time-to-PSNR on fox), probing train-view PSNR every 128 steps.
     # ``train_wall_s`` counts training time only (PSNR probes excluded);
     # ``*_wall`` marks include them, both exclude process startup.
+    #
+    # Budget-proofing (round-3 verdict task 5): training may use at most
+    # 60% of the budget, guaranteeing the holdout/microbench/scaling
+    # phases always run in the same invocation. Compile stalls are
+    # tracked separately: a chunk whose wall time exceeds 4x the trailing
+    # median carries a fresh (k, n_rays) program compile (1-3 min each on
+    # the tunnel, even persistent-cache hits deserialize for ~1 min) —
+    # time_to_psnr_* is reported raw AND compile-excluded.
     t_train0 = time.time()
     train_wall = 0.0
+    compile_stall = 0.0
     steps = 0
     psnr_probe = 0.0
-    t_reserve = min(0.30 * BUDGET_S, 240.0)
-    max_steps = int(os.environ.get("BENCH_MAX_STEPS", 4096))
+    t_reserve = max(0.40 * BUDGET_S, 270.0)
+    max_steps = int(os.environ.get("BENCH_MAX_STEPS", 6144))
     thr_window = []  # (steps, train-seconds) chunks for trailing throughput
+    import statistics
+
     while steps < max_steps and remaining() > t_reserve:
         t0 = time.time()
         state, grid, m = engine.train(state, grid, 32)
         dt = time.time() - t0
         train_wall += dt
         steps += 32
+        clean = [c[1] for c in thr_window[-12:]]
+        if len(clean) >= 4 and dt > 4.0 * statistics.median(clean):
+            compile_stall += dt - statistics.median(clean)
         thr_window.append((32, dt, engine.samples_per_step, engine._n_rays))
         if steps % 128 == 0:
             try:
@@ -206,9 +220,13 @@ def main():
                 if psnr_probe >= tgt and kname not in RESULT["extra"]:
                     RESULT["extra"][kname] = round(train_wall, 1)
                     RESULT["extra"][kname + "_step"] = steps
+                    RESULT["extra"][kname + "_excl_compile"] = round(
+                        train_wall - compile_stall, 1
+                    )
             RESULT["extra"]["train_view_psnr"] = round(psnr_probe, 2)
             RESULT["extra"]["steps"] = steps
             RESULT["extra"]["final_k"] = engine._k
+            RESULT["extra"]["compile_stall_s"] = round(compile_stall, 1)
             checkpoint_result()
             if "time_to_psnr_30" in RESULT["extra"] and steps >= 1024:
                 break
@@ -251,10 +269,14 @@ def main():
             RESULT["extra"]["holdout_error"] = repr(e)[:200]
         checkpoint_result()
 
-    # hash+MLP forward / forward+backward microbench at a 2^18 batch
-    # (BASELINE metric "hash+MLP fwd/bwd us/batch"). Chained dispatches
-    # with a value fetch — block_until_ready does not block on the axon
-    # tunnel (docs/PERF.md).
+    # hash+MLP forward / backward microbench at a 2^18 batch (BASELINE
+    # metric "hash+MLP fwd/bwd us/batch"). Round 3's chained-differencing
+    # reported fwd ≈ fwd+bwd — it was measuring one dispatch's tunnel
+    # round-trip, not kernel time. This version times MANY separate
+    # dispatches of ONE program each, chained through a data dependence
+    # (dispatches pipeline at ~0.3-0.6 ms while a value fetch costs
+    # ~20-70 ms, measured), and subtracts nothing: with R=24 the fetch
+    # amortizes to <3% of a multi-ms kernel.
     if remaining() > 60:
         try:
             import jax.numpy as jnp
@@ -266,37 +288,37 @@ def main():
             pos = jax.random.uniform(key, (n, 3))
             dirs = jax.random.uniform(jax.random.fold_in(key, 1), (n, 3))
 
-            def fwd_chain(p, pos, dirs, rounds):
-                s = jnp.float32(0)
-                for r in range(rounds):
-                    out = net(p, (pos + s * 1e-30 + r * 1e-7) % 1.0, dirs)
-                    s = s + jnp.sum(out[:: 4097])
-                return s
-
-            def bwd_chain(p, pos, dirs, rounds):
-                s = jnp.float32(0)
-                for r in range(rounds):
-                    g = jax.grad(
-                        lambda pp: jnp.sum(
-                            net(pp, (pos + s * 1e-30 + r * 1e-7) % 1.0, dirs) ** 2
-                        )
-                    )(p)
-                    s = s + jnp.sum(g["density_mlp"]["weights"][0])
-                return s
-
-            R_ = 6
-            for name, fn in (("hash_mlp_fwd_us", fwd_chain),
-                             ("hash_mlp_fwd_bwd_us", bwd_chain)):
-                f1 = jax.jit(lambda p, a, b, fn=fn: fn(p, a, b, 1))
-                fR = jax.jit(lambda p, a, b, fn=fn: fn(p, a, b, R_))
-                float(f1(params, pos, dirs)); float(fR(params, pos, dirs))
-                t0 = time.perf_counter(); float(f1(params, pos, dirs))
-                base = time.perf_counter() - t0
-                t0 = time.perf_counter(); float(fR(params, pos, dirs))
-                full_t = time.perf_counter() - t0
-                RESULT["extra"][name] = round(
-                    (full_t - base) / (R_ - 1) * 1e6, 1
+            fwd = jax.jit(
+                lambda p, pos, dirs, t: jnp.sum(
+                    net(p, (pos + t * 1e-30) % 1.0, dirs)[::4097]
                 )
+            )
+
+            def loss(p, pos, dirs, t):
+                return jnp.sum(net(p, (pos + t * 1e-30) % 1.0, dirs) ** 2)
+
+            bwd = jax.jit(
+                lambda p, pos, dirs, t: jax.grad(loss)(p, pos, dirs, t)[
+                    "density_mlp"
+                ]["weights"][0].sum()
+            )
+            R_ = 24
+            for name, fn in (("hash_mlp_fwd_us", fwd), ("hash_mlp_bwd_us", bwd)):
+                acc = jnp.float32(0)
+                float(fn(params, pos, dirs, acc))  # compile + warm
+                t0 = time.perf_counter()
+                for r in range(R_):
+                    acc = acc + fn(params, pos, dirs, acc * 1e-30 + r)
+                float(acc)
+                RESULT["extra"][name] = round(
+                    (time.perf_counter() - t0) / R_ * 1e6, 1
+                )
+            # bwd here is grad-of-(encode+MLPs) ONLY (fwd replay + table
+            # segment-sum + MLP grads); expect bwd >= ~1.5x fwd
+            f_us = RESULT["extra"].get("hash_mlp_fwd_us", 0)
+            b_us = RESULT["extra"].get("hash_mlp_bwd_us", 0)
+            if f_us and b_us:
+                RESULT["extra"]["hash_mlp_bwd_over_fwd"] = round(b_us / f_us, 2)
         except Exception as e:  # noqa: BLE001
             RESULT["extra"]["kernel_bench_error"] = repr(e)[:200]
         checkpoint_result()

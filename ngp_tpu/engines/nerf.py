@@ -1053,8 +1053,14 @@ class NerfEngine:
         # network running on ~50% padding once K's 2x headroom kicked in.
         # Nearest power of two; slot grid capped at 2x batch_size (march
         # cost scales with n_rays x n_lattice).
+        # Power-of-FOUR ray buckets: every (k, n_rays) pair is a separately
+        # compiled program and a train-step compile costs 1-3 min on the
+        # tunnel even with the persistent cache (deserialization alone is
+        # minutes-scale) — pow4 keeps a bench run to ~2-3 programs total.
+        # The ≤2x slot waste it can cost is bounded by the compact budget:
+        # the network still runs on exactly samples_per_step rows.
         want = self.samples_per_step / mean_total
-        n_rays = 1 << int(round(math.log2(max(want, 1.0))))
+        n_rays = 1 << (2 * int(round(math.log2(max(want, 1.0)) / 2.0)))
         n_rays = max(self.min_rays_per_batch, min(
             n_rays, (2 * self.batch_size) // self._k))
         self._n_rays = n_rays
@@ -1187,7 +1193,11 @@ class NerfEngine:
             win_steps += 1
             if (step + 1) % self.adapt_every == 0:
                 # adapt_batch_geometry reads metrics → device sync; the
-                # window meters piggyback on it (no extra syncs).
+                # window meters piggyback on it. ONE device_get for all
+                # scalars — each separate float() is a full tunnel round
+                # trip (~70 ms measured), so per-field fetches would cost
+                # more than four training steps.
+                metrics = jax.device_get(metrics)
                 loss_ema = self.meters.update_loss(float(metrics["loss"]))
                 now = _time.monotonic()
                 self.meters.update_window(

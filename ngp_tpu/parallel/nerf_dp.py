@@ -34,7 +34,7 @@ from ngp_tpu.parallel.mesh import DATA_AXIS
 
 def build_dp_train_step(
     engine: NerfEngine, mesh: Mesh, axis: str = DATA_AXIS,
-    return_grads: bool = False,
+    return_grads: bool = False, sync_gradients: bool = True,
 ):
     """Returns ``step(state, grid, key) -> (state, metrics)`` jitted over
     the mesh. The global batch (``engine.batch_size`` sample slots) is
@@ -42,23 +42,34 @@ def build_dp_train_step(
 
     ``return_grads`` adds the pmean-ed gradient tree to the metrics — for
     the DP-vs-single-chip equivalence test only (it defeats gradient-buffer
-    donation, so never enable it in production loops)."""
+    donation, so never enable it in production loops).
+
+    ``sync_gradients=False`` drops every collective from the step
+    (shard-local training — numerically divergent). Only for the scaling
+    probe's collective-cost ablation (scripts/bench_scaling.py)."""
     n_dev = mesh.shape[axis]
 
-    def make(k: int):
-        n_rays_local = max(engine.batch_size // k // n_dev, 1)
+    def make(k: int, n_rays: int):
+        # follow the engine's adaptive ray count (NerfCounters semantics,
+        # engine.adapt_batch_geometry) so each shard fills the compact
+        # budget with real samples instead of the ~50% padding the old
+        # batch_size//k pin left (round-3 advisor finding)
+        n_rays_local = max(n_rays // n_dev, 1)
 
         def shard_core(state, bitfield, mean_density, key, data):
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
             _, metrics, grads = engine.batch_loss_and_grads(
                 state.params, bitfield, mean_density, key, data, k, n_rays_local
             )
-            grads = jax.lax.pmean(grads, axis)
-            metrics = {
-                "loss": jax.lax.pmean(metrics["loss"], axis),
-                "measured_samples": jax.lax.psum(metrics["measured_samples"], axis),
-                "mean_total": jax.lax.pmean(metrics["mean_total"], axis),
-            }
+            if sync_gradients:
+                grads = jax.lax.pmean(grads, axis)
+                metrics = {
+                    "loss": jax.lax.pmean(metrics["loss"], axis),
+                    "measured_samples": jax.lax.psum(
+                        metrics["measured_samples"], axis
+                    ),
+                    "mean_total": jax.lax.pmean(metrics["mean_total"], axis),
+                }
             if return_grads:
                 metrics["grads"] = grads
             new_state = engine.apply_grads(state, grads)
@@ -77,9 +88,12 @@ def build_dp_train_step(
 
     def step(state, grid: occ.OccupancyGridState, key):
         k = engine._k
-        if k not in cache:
-            cache[k] = make(k)
-        return cache[k](state, grid.bitfield, grid.mean_density, key, engine.data)
+        n_rays = engine._n_rays
+        if (k, n_rays) not in cache:
+            cache[(k, n_rays)] = make(k, n_rays)
+        return cache[(k, n_rays)](
+            state, grid.bitfield, grid.mean_density, key, engine.data
+        )
 
     return step
 

