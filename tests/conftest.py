@@ -18,3 +18,62 @@ import jax  # noqa: E402
 # platform programmatically; jax.config wins over it and over the env var.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---- test tiers ------------------------------------------------------------
+# `-m unit` is the pre-commit gate (<3 min): everything NOT in the
+# integration list below. The list holds the end-to-end fits and other
+# >~8 s tests (measured full-suite durations, docs in README.md). New
+# slow tests: add them here or mark them @pytest.mark.integration.
+
+_INTEGRATION = {
+    "test_blocknerf_train_and_playback",
+    "test_golden_render_and_gradients",
+    "test_tpu_sort_hist_strategy_matches_sentinel_interpret",
+    "test_build_image_network_from_reference_config",
+    "test_camera_refinement_recovers_pose_noise",
+    "test_cli_sdf_end_to_end",
+    "test_density_slice",
+    "test_depth_supervision_trains_and_matches_gt_depth",
+    "test_distortion_map_recovers_lens_offset",
+    "test_dp_step_equivalent_to_single_chip_math",
+    "test_dp_training_converges_and_renders",
+    "test_dup_backward_corners_matches_pairs",
+    "test_engine_hook",
+    "test_engine_reference_snapshot_round_trip",
+    "test_envmap_learns_synthetic_sky",
+    "test_extra_learnable_dims",
+    "test_foveated_render_close_to_full_at_focus",
+    "test_graft_entry_points",
+    "test_image_fit_albert_downscaled",
+    "test_overlays",
+    "test_pair_gather_matches_classic_path",
+    "test_ray_file_loading_and_training",
+    "test_render_crop_box",
+    "test_render_modes",
+    "test_render_view_dof",
+    "test_render_view_shape_and_spp",
+    "test_render_with_shutter",
+    "test_rolling_shutter_smoke_and_motion_blur_xform_use",
+    "test_sdf_engine_mesh_export",
+    "test_sdf_engine_with_takikawa_and_octree",
+    "test_sdf_fit_cube",
+    "test_sdf_render_modes_and_shadows",
+    "test_set_image",
+    "test_train_loop_meters_and_snapshot_loss_ema",
+    "test_train_sphere_to_psnr",
+    "test_two_process_dp_step",
+    "test_volume_fit",
+
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _INTEGRATION or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.integration)
+        else:
+            item.add_marker(pytest.mark.unit)
