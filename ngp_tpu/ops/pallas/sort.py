@@ -117,6 +117,7 @@ def bitonic_sort_pos(keys: jax.Array, interpret: bool = False):
     kernel, so only the keys ride HBM."""
     B, n = keys.shape
     assert n & (n - 1) == 0, "n must be a power of two"
+    assert n >= 128, "rows shorter than one lane tile would reshape to zero tiles"
     R = n // _LANES
     k3 = keys.reshape(B, R, _LANES)
     p = int(np.log2(n))
