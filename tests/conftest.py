@@ -28,6 +28,37 @@ jax.config.update("jax_enable_x64", False)
 
 _INTEGRATION = {
     "test_blocknerf_train_and_playback",
+    "test_batched_matches_global",
+    "test_brdf_shading_properties",
+    "test_build_nerf_network_from_reference_config",
+    "test_dp_grid_update",
+    "test_dp_step_matches_replicated_semantics",
+    "test_engine_init_grid_with_prior",
+    "test_eval_test_transforms_self",
+    "test_fsdp_step_matches_single_chip",
+    "test_grid_gather_blend_backward_matches_scatter_add",
+    "test_hashgrid_bf16_gather_matches_f32",
+    "test_hashgrid_grad_scatter",
+    "test_lattice_march_matches_sequential",
+    "test_march_more_slots_than_lattice",
+    "test_occupied_at_lookup",
+    "test_pair_gather_boundary_exact",
+    "test_params_round_trip_and_output_parity",
+    "test_pixel_stride_registration",
+    "test_render_encoding_vis",
+    "test_sample_update_cells_shapes_and_bias",
+    "test_simplex_gradients_flow",
+    "test_simplex_training_step_runs",
+    "test_takikawa_encoding_forward_and_zeros",
+    "test_takikawa_matches_bruteforce",
+    "test_takikawa_sum_mode",
+    "test_takikawa_table_gradient",
+    "test_testbed_image_roundtrip",
+    "test_trainer_fits_toy_regression",
+    "test_training_data_generation",
+    "test_training_loss_grads_match_reference_formula",
+    "test_training_sample_recipe",
+    "test_update_grid_state_smoke",
     "test_golden_render_and_gradients",
     "test_tpu_sort_hist_strategy_matches_sentinel_interpret",
     "test_build_image_network_from_reference_config",
