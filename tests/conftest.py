@@ -28,6 +28,7 @@ jax.config.update("jax_enable_x64", False)
 
 _INTEGRATION = {
     "test_blocknerf_train_and_playback",
+    "test_viewer_nerf_extras",
     "test_batched_matches_global",
     "test_brdf_shading_properties",
     "test_build_nerf_network_from_reference_config",

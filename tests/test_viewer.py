@@ -70,3 +70,57 @@ def test_orbit_xform_sane():
     np.testing.assert_allclose(
         f, (c - eye) / np.linalg.norm(c - eye), atol=1e-5
     )
+
+
+def test_viewer_nerf_extras(tmp_path):
+    """Crop box, camera-path editor, and level-histogram endpoints (the
+    GUI parity extras: src/testbed.cu:1409-1541, 1019-1147, 1932)."""
+    import tests.test_nerf_engine as tn
+    from ngp_tpu.testbed import Testbed
+    from ngp_tpu.utils.viewer import make_server
+
+    tb = Testbed(mode="nerf", config=dict(tn.CONFIG),
+                 batch_size=1 << 10, grid_size=16, n_steps_per_unit=128)
+    tb.engine = None  # built below from the in-memory dataset
+    from ngp_tpu.engines.nerf import NerfEngine
+
+    tb.engine = NerfEngine(dict(tn.CONFIG), tn._make_dataset(4),
+                           batch_size=1 << 10, grid_size=16,
+                           n_steps_per_unit=128)
+    tb.state, tb.grid = tb.engine.init_state(), tb.engine.init_grid()
+    srv = make_server(tb, port=0, n_train_steps=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://{host}:{port}{path}",
+                data=json.dumps(payload).encode(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read() or b"{}")
+
+        # crop box reaches the engine
+        post("/crop", {"min": [0.2, 0.2, 0.2], "max": [0.8, 0.8, 0.8]})
+        state = json.loads(_get(srv, "/state")[0])
+        np.testing.assert_allclose(state["crop"][0], [0.2, 0.2, 0.2])
+
+        # path editor: two keyframes -> playback flag; export is valid JSON
+        assert post("/path", {"op": "add"})["n_keyframes"] == 1
+        srv.viewer_camera.yaw = 1.0
+        assert post("/path", {"op": "add"})["n_keyframes"] == 2
+        assert post("/path", {"op": "play"})["playing"] is True
+        doc = json.loads(_get(srv, "/path.json")[0])
+        assert len(doc["path"]) == 2 and "R" in doc["path"][0]
+        # a playback frame renders
+        jpg, ctype = _get(srv, "/frame.jpg?w=32&h=32&train=0")
+        assert ctype == "image/jpeg"
+        assert post("/path", {"op": "clear"})["n_keyframes"] == 0
+
+        # histograms: one list per level
+        h = json.loads(_get(srv, "/histograms")[0])
+        assert len(h["levels"]) == dict(tn.CONFIG)["encoding"]["n_levels"]
+    finally:
+        srv.shutdown()
