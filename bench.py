@@ -196,7 +196,7 @@ def main():
     steps = 0
     psnr_probe = 0.0
     t_reserve = max(0.40 * BUDGET_S, 270.0)
-    max_steps = int(os.environ.get("BENCH_MAX_STEPS", 6144))
+    max_steps = int(os.environ.get("BENCH_MAX_STEPS", 12288))
     thr_window = []  # (steps, train-seconds) chunks for trailing throughput
     import statistics
 
@@ -305,7 +305,12 @@ def main():
             R_ = 24
             for name, fn in (("hash_mlp_fwd_us", fwd), ("hash_mlp_bwd_us", bwd)):
                 acc = jnp.float32(0)
-                float(fn(params, pos, dirs, acc))  # compile + warm
+                # compile + warm: the first FEW executions of a program
+                # through the tunnel run ~5x slow (measured: first chain
+                # 65 ms/iter, re-run 14 ms/iter) — chain 4 warm calls
+                for w in range(4):
+                    acc = acc + fn(params, pos, dirs, acc * 1e-30 - w)
+                float(acc)
                 t0 = time.perf_counter()
                 for r in range(R_):
                     acc = acc + fn(params, pos, dirs, acc * 1e-30 + r)

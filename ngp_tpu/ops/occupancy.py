@@ -72,13 +72,23 @@ def init_grid_state(cfg: OccupancyGridConfig) -> OccupancyGridState:
     )
 
 
+def _floor_log2(x: jax.Array) -> jax.Array:
+    """Exact ``floor(log2(x))`` for positive normal floats via the IEEE
+    exponent field — the integer-math counterpart of the reference's
+    ``frexpf`` (``testbed_nerf.cu:614-633``). Two VPU ops instead of a
+    transcendental; exact at power-of-two boundaries where a rounded
+    ``log2`` could be off by one."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return ((bits >> 23) & 0xFF) - 127
+
+
 def mip_from_pos(pos: jax.Array, max_mip: int) -> jax.Array:
     """Canonical cascade of a scene-space position: the smallest cascade cube
     containing it (``mip_from_pos``, ``testbed_nerf.cu:614-621``). ``pos``
     is (..., 3); returns (...,) int32."""
     maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
     # frexp exponent: maxval = f * 2^e with f in [0.5, 1).
-    e = jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-10))).astype(jnp.int32) + 1
+    e = _floor_log2(jnp.maximum(maxval, 1e-10)) + 1
     return jnp.clip(e + 1, 0, max_mip)
 
 
@@ -88,7 +98,7 @@ def mip_from_dt(dt: jax.Array, pos: jax.Array, max_mip: int, grid_size: int = NE
     (``mip_from_dt``, ``testbed_nerf.cu:623-633``)."""
     mip = mip_from_pos(pos, max_mip)
     dtx = dt * (2 * grid_size)
-    e = jnp.floor(jnp.log2(jnp.maximum(dtx, 1e-10))).astype(jnp.int32) + 1
+    e = _floor_log2(jnp.maximum(dtx, 1e-10)) + 1
     return jnp.where(dtx < 1.0, mip, jnp.clip(jnp.maximum(mip, e), 0, max_mip))
 
 
