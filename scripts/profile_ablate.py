@@ -47,8 +47,14 @@ def time_steps(engine, state0, grid, iters):
     the whole chain exactly."""
     state = copy_tree(state0)
     key = jax.random.PRNGKey(77)
-    # warmup/compile (fetch forces execution + surfaces deferred errors)
-    state, _, m = engine.train_step(state, grid, None, jax.random.fold_in(key, 999))
+    # warmup/compile (fetch forces execution + surfaces deferred errors).
+    # SIX warm executions: the first few runs of a freshly loaded program
+    # through the tunnel are ~5x slow (measured, docs/PERF.md) — one
+    # warm call lets that tail pollute the timed window.
+    for w in range(6):
+        state, _, m = engine.train_step(
+            state, grid, None, jax.random.fold_in(key, 990 + w)
+        )
     float(m["loss"])
     t0 = time.perf_counter()
     for i in range(iters):
@@ -128,9 +134,14 @@ def main():
         if setup:
             setup()
         try:
+            # A fresh executable runs ~5-30x slow for its first tens of
+            # seconds on this tunnel (docs/PERF.md) — time TWO windows
+            # and report the second (the settled one), printing both.
+            ms1, _ = time_steps(e, state, grid, args.iters)
             ms, _ = time_steps(e, state, grid, args.iters)
             results[name] = ms
-            print(f"{name:>14}: {ms:7.1f} ms/step", flush=True)
+            print(f"{name:>14}: {ms:7.1f} ms/step  (first window {ms1:.1f})",
+                  flush=True)
         finally:
             if teardown:
                 teardown()
