@@ -261,7 +261,7 @@ def main():
         try:
             res = engine.eval_test_transforms(
                 state, grid, holdout_ds, stride=4,
-                max_views=min(3, holdout_ds.n_images),
+                max_views=min(8, holdout_ds.n_images),
             )
             RESULT["extra"]["holdout_psnr"] = round(float(res["psnr"]), 2)
             RESULT["extra"]["holdout_views"] = int(res["n_views"])
@@ -269,14 +269,42 @@ def main():
             RESULT["extra"]["holdout_error"] = repr(e)[:200]
         checkpoint_result()
 
+    # Render-path benchmark (VERDICT r4 missing #3): wall-time a full
+    # camera view at half resolution (fox: 960x540 = 518k rays), warm.
+    # Each frame is fetched to host (np.asarray) — this measures the
+    # user-visible frame latency including the chunked dispatch loop.
+    if remaining() > 90:
+        try:
+            import numpy as _np
+
+            t0 = time.perf_counter()
+            img = _np.asarray(engine.render_image(state, grid, 0, stride=2))
+            RESULT["extra"]["render_first_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1
+            )
+            n_frames = 3
+            t0 = time.perf_counter()
+            for _ in range(n_frames):
+                img = _np.asarray(
+                    engine.render_image(state, grid, 0, stride=2)
+                )
+            dt = (time.perf_counter() - t0) / n_frames
+            n_rays = img.shape[0] * img.shape[1]
+            RESULT["extra"]["render_ms_per_frame"] = round(dt * 1e3, 1)
+            RESULT["extra"]["render_rays_per_s"] = round(n_rays / dt, 1)
+            RESULT["extra"]["render_resolution"] = [img.shape[1], img.shape[0]]
+        except Exception as e:  # noqa: BLE001
+            RESULT["extra"]["render_bench_error"] = repr(e)[:200]
+        checkpoint_result()
+
     # hash+MLP forward / backward microbench at a 2^18 batch (BASELINE
-    # metric "hash+MLP fwd/bwd us/batch"). Round 3's chained-differencing
-    # reported fwd ≈ fwd+bwd — it was measuring one dispatch's tunnel
-    # round-trip, not kernel time. This version times MANY separate
-    # dispatches of ONE program each, chained through a data dependence
-    # (dispatches pipeline at ~0.3-0.6 ms while a value fetch costs
-    # ~20-70 ms, measured), and subtracts nothing: with R=24 the fetch
-    # amortizes to <3% of a multi-ms kernel.
+    # metric "hash+MLP fwd/bwd us/batch"). Methodology notes, learned the
+    # hard way: (a) DISTINCT closures per variant — jax.jit of the same
+    # function object shares one trace cache and silently reuses the
+    # first variant's program; (b) a fresh executable runs ~3-5x slow for
+    # its first window through the tunnel — time two windows and report
+    # the second; (c) chain iterations through a data dependence so the
+    # tunnel cannot dedupe, with ONE trailing fetch.
     if remaining() > 60:
         try:
             import jax.numpy as jnp
@@ -288,42 +316,39 @@ def main():
             pos = jax.random.uniform(key, (n, 3))
             dirs = jax.random.uniform(jax.random.fold_in(key, 1), (n, 3))
 
-            fwd = jax.jit(
-                lambda p, pos, dirs, t: jnp.sum(
-                    net(p, (pos + t * 1e-30) % 1.0, dirs)[::4097]
-                )
-            )
+            def fwd_fn(p, pos, dirs, t):
+                return jnp.sum(net(p, (pos + t * 1e-30) % 1.0, dirs)[::4097])
 
             def loss(p, pos, dirs, t):
                 return jnp.sum(net(p, (pos + t * 1e-30) % 1.0, dirs) ** 2)
 
-            bwd = jax.jit(
-                lambda p, pos, dirs, t: jax.grad(loss)(p, pos, dirs, t)[
+            def bwd_fn(p, pos, dirs, t):
+                return jax.grad(loss)(p, pos, dirs, t)[
                     "density_mlp"
                 ]["weights"][0].sum()
-            )
-            R_ = 24
-            for name, fn in (("hash_mlp_fwd_us", fwd), ("hash_mlp_bwd_us", bwd)):
+
+            R_ = 12
+            for name, fn in (("hash_mlp_fwd_us", fwd_fn), ("hash_mlp_bwd_us", bwd_fn)):
+                jf = jax.jit(fn)
                 acc = jnp.float32(0)
-                # compile + warm: the first FEW executions of a program
-                # through the tunnel run ~5x slow (measured: first chain
-                # 65 ms/iter, re-run 14 ms/iter) — chain 4 warm calls
                 for w in range(4):
-                    acc = acc + fn(params, pos, dirs, acc * 1e-30 - w)
+                    acc = acc + jf(params, pos, dirs, acc * 1e-30 - w)
                 float(acc)
-                t0 = time.perf_counter()
-                for r in range(R_):
-                    acc = acc + fn(params, pos, dirs, acc * 1e-30 + r)
-                float(acc)
-                RESULT["extra"][name] = round(
-                    (time.perf_counter() - t0) / R_ * 1e6, 1
-                )
-            # bwd here is grad-of-(encode+MLPs) ONLY (fwd replay + table
-            # segment-sum + MLP grads); expect bwd >= ~1.5x fwd
+                settled = 0.0
+                for win in range(2):
+                    t0 = time.perf_counter()
+                    for r in range(R_):
+                        acc = acc + jf(params, pos, dirs, acc * 1e-30 + r + win * R_)
+                    float(acc)
+                    settled = (time.perf_counter() - t0) / R_ * 1e6
+                RESULT["extra"][name] = round(settled, 1)
             f_us = RESULT["extra"].get("hash_mlp_fwd_us", 0)
             b_us = RESULT["extra"].get("hash_mlp_bwd_us", 0)
             if f_us and b_us:
+                # bwd = grad of (encode+MLPs): fwd replay + table segment
+                # sum + MLP grads; expect bwd/fwd >= ~1.5
                 RESULT["extra"]["hash_mlp_bwd_over_fwd"] = round(b_us / f_us, 2)
+                RESULT["extra"]["hash_mlp_fwd_samples_per_s"] = round(n / (f_us * 1e-6), 1)
         except Exception as e:  # noqa: BLE001
             RESULT["extra"]["kernel_bench_error"] = repr(e)[:200]
         checkpoint_result()

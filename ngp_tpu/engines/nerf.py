@@ -36,11 +36,17 @@ import optax
 from ngp_tpu.data.nerf_loader import NerfDataset
 from ngp_tpu.geometry.aabb import AABB
 from ngp_tpu.geometry.camera import (
+    LENS_EQUIRECT,
+    LENS_FTHETA,
+    LENS_LATLONG,
     LENS_OPENCV,
     LENS_OPENCV_FISHEYE,
     LENS_PINHOLE,
+    equirectangular_to_dir,
+    f_theta_undistortion,
     grid_at_lerp,
     iterative_undistortion,
+    latlong_to_dir,
     opencv_fisheye_lens_distortion_delta,
     opencv_lens_distortion_delta,
 )
@@ -491,9 +497,14 @@ class NerfEngine:
         self._n_rays = max(self.batch_size // self._k, self.min_rays_per_batch)
 
         self._jit_cache: dict[Any, Any] = {}
-        self._grid_strides = self.grid_update_strides or max(
+        # Round the stride count UP to a power of two: any pow2 divides the
+        # pow2 G³ cell count, whereas e.g. 2·n_cascades = 6 (aabb_scale 4)
+        # leaves n_cells % n_strides != 0 and place_stride's dense reshape
+        # would fail (ADVICE r4). stride_cells/place_stride also assert.
+        want_strides = self.grid_update_strides or max(
             4, 2 * self.grid_cfg.n_cascades
         )
+        self._grid_strides = 1 << (want_strides - 1).bit_length()
         self.use_importance_sampling = bool(ds.wants_importance_sampling)
         self._emap: ErrorMapState | None = None
         self._emap_interval = 128  # n_steps_between_error_map_updates
@@ -624,12 +635,22 @@ class NerfEngine:
     # -- ray generation
 
     def _pixel_dirs_cam(self, uv: jax.Array, focal: jax.Array, pp: jax.Array):
-        """Camera-space (unnormalized, z=1) directions for uv∈[0,1]², with
-        per-ray intrinsics and the dataset's lens undistortion."""
+        """Camera-space directions for uv∈[0,1]² with per-ray intrinsics —
+        ALL lens dialects of the reference's ``uv_to_ray``
+        (``common_device.cuh:443-510``): pinhole/OpenCV/fisheye give
+        unnormalized z=1 dirs; F-theta/LatLong/Equirectangular give unit
+        dirs (so the depth-supervision |dir| factor is 1, like the
+        reference's already-unit lens dirs)."""
+        params = jnp.asarray(self.lens.params, jnp.float32)
+        if self.lens.mode == LENS_FTHETA:
+            return f_theta_undistortion(uv - pp, params)
+        if self.lens.mode == LENS_LATLONG:
+            return latlong_to_dir(uv)
+        if self.lens.mode == LENS_EQUIRECT:
+            return equirectangular_to_dir(uv)
         W, H = self.resolution
         x = (uv[:, 0] - pp[:, 0]) * W / focal[:, 0]
         y = (uv[:, 1] - pp[:, 1]) * H / focal[:, 1]
-        params = jnp.asarray(self.lens.params, jnp.float32)
         if self.lens.mode == LENS_OPENCV:
             x, y = iterative_undistortion(opencv_lens_distortion_delta, params, x, y)
         elif self.lens.mode == LENS_OPENCV_FISHEYE:
@@ -1128,6 +1149,14 @@ class NerfEngine:
             splat = occ.place_stride(self.grid_cfg, sigma, phase, self._grid_strides)
             # Culled cells (-1) must not resurrect: their splat is ignored
             # by ema_update_density's where(density < 0).
+            # NOTE on marginal-cell flicker (ADVICE r4): build_bitfield's
+            # thresh_scale=decay^(strides/2) knob would keep mid-period
+            # decayed cells occupied, but measured on the sphere fixture
+            # it slows occupancy pruning enough to stall training (PSNR
+            # 22 -> 3.7 at 400 steps), so the compensation stays OFF by
+            # default; flicker only affects cells within ~2x of the
+            # threshold, which EMA-max re-captures at their next residue
+            # pass.
             return occ.update_grid_state_dense(self.grid_cfg, grid, splat)
         divisor = 4 if self.reference_prep_cadence else self.grid_sample_divisor
         n_part = self.grid_cfg.n_cells // divisor * self.grid_cfg.n_cascades
@@ -1166,7 +1195,16 @@ class NerfEngine:
         win_steps = 0
         metrics = {}
         base_key = jax.random.PRNGKey(self.seed ^ 0x5EED)
-        step0 = int(state.step)  # one sync at entry, then host-side counter
+        # Host-side step counter: syncing state.step costs a full tunnel
+        # round trip (~20-70 ms) AND drains the dispatch pipeline. The
+        # counter is keyed on the identity of the state object this train
+        # loop last returned — any externally modified/reloaded state
+        # misses the key and re-syncs once.
+        cached = getattr(self, "_host_step", None)
+        if cached is not None and cached[0] == id(state):
+            step0 = cached[1]
+        else:
+            step0 = int(state.step)
         if self._emap is None:
             self._emap = self.init_error_map()
         for step in range(step0, step0 + n_steps):
@@ -1192,31 +1230,28 @@ class NerfEngine:
             state, self._emap, metrics = self.train_step(state, grid, self._emap, key)
             win_steps += 1
             if (step + 1) % self.adapt_every == 0:
-                # adapt_batch_geometry reads metrics → device sync; the
-                # window meters piggyback on it. ONE device_get for all
-                # scalars — each separate float() is a full tunnel round
-                # trip (~70 ms measured), so per-field fetches would cost
-                # more than four training steps.
-                metrics = jax.device_get(metrics)
-                loss_ema = self.meters.update_loss(float(metrics["loss"]))
+                # Pipelined adapt: fetching the metrics of the step just
+                # dispatched would block until the device catches up —
+                # draining the whole dispatch pipeline every window (the
+                # round-4 bench lost ~RTT+window of device time to this
+                # per adapt). Instead start an async copy of THIS window's
+                # metrics and process the PREVIOUS window's (whose copy
+                # has had a full window to land). One window of adaptation
+                # lag is harmless — the K/ray hysteresis already damps
+                # faster oscillation than that.
+                jax.tree.map(lambda x: x.copy_to_host_async(), metrics)
                 now = _time.monotonic()
-                self.meters.update_window(
-                    win_steps,
-                    float(metrics["measured_samples"]) * win_steps,
-                    float(self._n_rays) * win_steps,
-                    now - win_t0,
-                )
-                if logger is not None:
-                    logger.log(
-                        step + 1,
-                        loss=float(metrics["loss"]),
-                        loss_ema=loss_ema,
-                        samples_per_s=self.meters.samples_per_s.value,
-                        rays_per_s=self.meters.rays_per_s.value,
-                        step_ms=self.meters.step_ms.value,
-                        k=self._k,
-                    )
-                self.adapt_batch_geometry(metrics)
+                window = {
+                    "metrics": metrics,
+                    "steps": win_steps,
+                    "rays": float(self._n_rays) * win_steps,
+                    "wall": now - win_t0,
+                    "step": step + 1,
+                }
+                prev = getattr(self, "_pending_window", None)
+                self._pending_window = window
+                if prev is not None:
+                    self._process_window(prev, logger)
                 win_t0 = _time.monotonic()
                 win_steps = 0
             if log_every and step % log_every == 0:
@@ -1227,8 +1262,40 @@ class NerfEngine:
                     f"({self.meters.samples_per_s.value/1e6:.2f} Msamples/s)"
                 )
         if logger is not None:
+            # Flush the pending window so the JSONL log is complete for
+            # this call (costs one pipeline drain — only paid when a
+            # metrics file was requested; the bench path stays drain-free
+            # with meters lagging one window).
+            prev = getattr(self, "_pending_window", None)
+            if prev is not None:
+                self._pending_window = None
+                self._process_window(prev, logger)
             logger.close()
+        self._host_step = (id(state), step0 + n_steps)
         return state, grid, metrics
+
+    def _process_window(self, win, logger) -> None:
+        """Fetch + account one adapt window (see the pipelined-adapt note
+        in :meth:`train`)."""
+        m = jax.device_get(win["metrics"])
+        loss_ema = self.meters.update_loss(float(m["loss"]))
+        self.meters.update_window(
+            win["steps"],
+            float(m["measured_samples"]) * win["steps"],
+            win["rays"],
+            win["wall"],
+        )
+        if logger is not None:
+            logger.log(
+                win["step"],
+                loss=float(m["loss"]),
+                loss_ema=loss_ema,
+                samples_per_s=self.meters.samples_per_s.value,
+                rays_per_s=self.meters.rays_per_s.value,
+                step_ms=self.meters.step_ms.value,
+                k=self._k,
+            )
+        self.adapt_batch_geometry(m)
 
     # -- rendering
 

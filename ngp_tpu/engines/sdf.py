@@ -58,6 +58,11 @@ class SdfEngine:
     # masking. Forced on (like the reference) by a Takikawa encoding.
     use_octree: bool = False
     octree_depth: int = 0  # 0 → encoding n_levels, else 8
+    # GT sign mode: "watertight" (closest-normal, testbed.h default),
+    # "raystab" (parity of stabs), or "winding" — the robust counterpart
+    # of the reference's OptiX-only PathEscape mode (generalized winding
+    # number; see geometry/triangle_bvh.signed_distance_winding).
+    sign_mode: str = "watertight"
     seed: int = 1337
 
     def __post_init__(self):
@@ -87,10 +92,30 @@ class SdfEngine:
             from ngp_tpu.ops.shading import BRDFParams
 
             self.brdf = BRDFParams()
+        if self.sign_mode not in ("watertight", "raystab", "winding"):
+            raise ValueError(
+                f"unknown sign_mode {self.sign_mode!r} "
+                "(watertight | raystab | winding)"
+            )
         # pyngp override_sdf_training_data (python_api.cu:69-99): when set,
         # training draws from these (points, distances) instead of the BVH.
         self.override_training_data: tuple | None = None
         self._jit: dict[Any, Any] = {}
+
+    def signed_distance(self, points):
+        """GT signed distance in the engine's ``sign_mode`` (the
+        counterpart of the reference's ``m_sdf.mesh_sdf_mode`` dispatch,
+        ``testbed_sdf.cu`` sample generation)."""
+        from ngp_tpu.geometry.triangle_bvh import (
+            signed_distance_raystab,
+            signed_distance_winding,
+        )
+
+        if self.sign_mode == "raystab":
+            return signed_distance_raystab(self.bvh, points)
+        if self.sign_mode == "winding":
+            return signed_distance_winding(self.bvh, points)
+        return signed_distance_watertight(self.bvh, points)
 
     @classmethod
     def from_file(cls, config: dict, path: str, **kw) -> "SdfEngine":
@@ -139,7 +164,7 @@ class SdfEngine:
             uni = lo + jax.random.uniform(k3, (n_uniform, 3)) * (hi - lo)
 
         query = jnp.concatenate([offset_pos, uni], axis=0)
-        sd = signed_distance_watertight(self.bvh, query)
+        sd = self.signed_distance(query)
         positions = jnp.concatenate([surf[:n_exact], query], axis=0)
         distances = jnp.concatenate([jnp.zeros((n_exact,)), sd], axis=0)
         return positions, distances
@@ -212,7 +237,7 @@ class SdfEngine:
 
         def sdf_fn(p):
             if gt_bvh:
-                return signed_distance_watertight(self.bvh, p)
+                return self.signed_distance(p)
             return self.model(params, p)[:, 0]
 
         steps = jnp.zeros(alive.shape, jnp.int32)
@@ -266,7 +291,7 @@ class SdfEngine:
 
         def sdf_fn(p):
             if gt_bvh:
-                return signed_distance_watertight(self.bvh, p)
+                return self.signed_distance(p)
             return self.model(params, p)[:, 0]
 
         alive = jnp.ones(o.shape[0], bool)
@@ -313,7 +338,7 @@ class SdfEngine:
         if gt_bvh:
             eps = 1e-3
             def sdf(p):
-                return signed_distance_watertight(self.bvh, p)
+                return self.signed_distance(p)
             n = jnp.stack(
                 [
                     sdf(pos + jnp.asarray([eps, 0, 0])) - sdf(pos - jnp.asarray([eps, 0, 0])),

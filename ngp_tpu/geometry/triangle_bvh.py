@@ -383,3 +383,56 @@ def signed_distance_raystab(
         _, _, count = jax.lax.while_loop(cond, body, (o, t0, count))
         inside = inside & (count % 2 == 1)
     return jnp.where(inside, -dist, dist)
+
+
+def winding_number(
+    triangles: jnp.ndarray, points: jnp.ndarray, tri_chunk: int = 4096
+) -> jnp.ndarray:
+    """Generalized winding number of ``points`` (P, 3) w.r.t. the triangle
+    soup (T, 3, 3): Σ solid angles / 4π (van Oosterom–Strackee). ≈1 inside,
+    ≈0 outside, fractional near holes — the robust inside test of Jacobson
+    et al. 2013. Brute-force over triangle chunks (O(P·T) — this is the GT
+    precompute path, not a render-time op)."""
+    T = triangles.shape[0]
+    pad = (-T) % tri_chunk
+    if pad:
+        # degenerate (zero-area) padding triangles contribute 0 solid angle
+        triangles = jnp.concatenate(
+            [triangles, jnp.zeros((pad, 3, 3), triangles.dtype)], axis=0
+        )
+    chunks = triangles.reshape(-1, tri_chunk, 3, 3)
+
+    def chunk_omega(tris):
+        a = tris[None, :, 0, :] - points[:, None, :]  # (P, Tc, 3)
+        b = tris[None, :, 1, :] - points[:, None, :]
+        c = tris[None, :, 2, :] - points[:, None, :]
+        la = jnp.linalg.norm(a, axis=-1)
+        lb = jnp.linalg.norm(b, axis=-1)
+        lc = jnp.linalg.norm(c, axis=-1)
+        num = jnp.sum(a * jnp.cross(b, c), axis=-1)
+        den = (
+            la * lb * lc
+            + jnp.sum(a * b, axis=-1) * lc
+            + jnp.sum(b * c, axis=-1) * la
+            + jnp.sum(c * a, axis=-1) * lb
+        )
+        return jnp.sum(2.0 * jnp.arctan2(num, den), axis=-1)  # (P,)
+
+    omega = jax.lax.map(chunk_omega, chunks)  # (n_chunks, P)
+    return jnp.sum(omega, axis=0) / (4.0 * jnp.pi)
+
+
+def signed_distance_winding(
+    bvh: TriangleBvh, points: jnp.ndarray, tri_chunk: int = 4096
+) -> jnp.ndarray:
+    """Winding-number sign — the robust counterpart of the reference's
+    OptiX-only *PathEscape* sign mode (``src/optix/pathescape.cu``,
+    ``triangle_bvh.cu:47-141``: stochastic paths that fail to escape mark
+    a point interior). The generalized winding number answers the same
+    "is this region enclosed?" question deterministically and tolerates
+    holes/self-intersections that flip the watertight normal test; unlike
+    raystab parity it degrades gracefully (w ≈ enclosure fraction) instead
+    of flipping on a single unlucky stab through a hole."""
+    dist, _, _ = closest_point(bvh, points)
+    inside = winding_number(bvh.triangles, points, tri_chunk) > 0.5
+    return jnp.where(inside, -dist, dist)

@@ -48,9 +48,11 @@ def grid_dup_gather_blend(
     mod the table size), so the duplicated view is built per step with D
     concat+roll passes — linear, ~0.3 ms, master params stay (L, T, F).
 
-    The backward keys the same P pair rows (2F-wide payloads — half the
-    rows of a per-corner segment sum), then folds with one shifted add:
-    ``dtable[t] = pair[t, :F] + pair[t−1 mod size, F:]``.
+    The backward (3D default: "quads") keys the two z-plane group bases
+    per cell (4F-wide payloads — a quarter of the rows of a per-corner
+    segment sum, at 5 sort operands) and folds with three shifted adds;
+    ``NGP_TPU_DUP_BWD`` selects "pairs" (P x-adjacent pair rows, 2F
+    payloads) or the experimental "corners" instead — see ``_gdgb_bwd``.
 
     Exactness: identical arithmetic to the classic per-corner path with
     the additive hash, including the dense top-plane behavior (per-dim
@@ -143,7 +145,8 @@ def _gdgb_bwd(enc, res, g):
     D = enc.n_input_dims
     _, _, sizes, _ = enc._level_geometry()
     N = base.shape[1]
-    if os.environ.get("NGP_TPU_DUP_BWD", "pairs") == "corners":
+    strategy = os.environ.get("NGP_TPU_DUP_BWD", "quads")
+    if strategy == "corners":
         # EXPERIMENTAL (NGP_TPU_DUP_BWD=corners): ONE segment-sum key
         # per (level, sample) — the cell's base row — with all 2^D corner
         # contributions as a C·F-wide payload, then a static-shift fold
@@ -174,6 +177,56 @@ def _gdgb_bwd(enc, res, g):
                 acc = acc + jnp.roll(
                     ql[c * F:(c + 1) * F], int(shifts[l, c]), axis=1
                 )
+            folded.append(
+                jnp.pad(acc, ((0, 0), (0, T - size))) if size < T else acc
+            )
+        return (
+            jnp.transpose(jnp.stack(folded), (0, 2, 1)).astype(proto.dtype),
+            None,
+            None,
+        )
+
+    if D == 3 and strategy == "quads":
+        # z-adjacent QUAD grouping: 2 segment-sum keys per (level, sample)
+        # — the two z-plane group bases ``base + {0, s3} mod size`` — with
+        # the 4 in-plane corner contributions as a 4F-wide payload, then a
+        # 4-piece static-shift fold. Halves the sort rows vs the pair
+        # construction at 5 sort operands (key + 4 packed-bf16 columns),
+        # inside XLA's operand cliff: sort (6, 327680, 5 cols) = 7.3 ms vs
+        # (6, 655360, 3 cols) = 10.7 ms measured on v5e (r5). The 8-wide
+        # single-key "corners" payload needs 9 operands — 74.6 ms.
+        s2np, s3np = enc._dup_shifts()
+        sz = jnp.asarray(sizes, jnp.int32)
+        k2 = jnp.stack(
+            [base, base + jnp.asarray(s3np % sizes.astype(np.int64),
+                                      jnp.int32)[:, None]],
+            axis=-1,
+        )  # (L, N, 2)
+        k2 = jnp.where(k2 >= sz[:, None, None], k2 - sz[:, None, None], k2)
+        # payload order per quad: (dx,dy) = (0,0),(1,0),(0,1),(1,1) —
+        # corner index c = dx + 2·dy + 4·dz, so wc reshaped (dz, dx+2dy)
+        # already has the quad corners minor
+        w4 = wc.reshape(L, -1, 2, 4)  # (L, N, dz, quad-corner)
+        vals = (
+            w4[..., None] * g[:, :, None, None, :]
+        ).reshape(L, base.shape[1], 2, 4 * F)  # (L, N, dz, 4F)
+        quad = batched_segment_sum(
+            jnp.transpose(k2, (0, 2, 1)).reshape(L, -1),
+            jnp.transpose(vals, (0, 2, 1, 3)).reshape(L, -1, 4 * F),
+            T,
+            level_sizes=[int(s) for s in sizes],
+        )  # (L, T, 4F)
+        # fold: dtable[t] = Σ_{(dx,dy)} piece[(t − dx − dy·s2) mod size]
+        # in a T-minor layout (full-lane rolls; see the corners branch)
+        qT = jnp.transpose(quad, (0, 2, 1))  # (L, 4F, T)
+        folded = []
+        for l in range(L):
+            size = int(sizes[l])
+            ql = qT[l][:, :size]
+            s2l = int(s2np[l] % size)
+            acc = ql[0:F]
+            for j, sh in ((1, 1), (2, s2l), (3, (s2l + 1) % size)):
+                acc = acc + jnp.roll(ql[j * F:(j + 1) * F], sh, axis=1)
             folded.append(
                 jnp.pad(acc, ((0, 0), (0, T - size))) if size < T else acc
             )

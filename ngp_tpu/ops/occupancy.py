@@ -133,12 +133,23 @@ def density_grid_cell_positions(cfg: OccupancyGridConfig, cell_xyz: jax.Array, m
     return (p - 0.5) * jnp.exp2(mip.astype(jnp.float32))[..., None] + 0.5
 
 
-def build_bitfield(density: jax.Array, mean_density: jax.Array) -> jax.Array:
+def build_bitfield(
+    density: jax.Array, mean_density: jax.Array, thresh_scale: float = 1.0
+) -> jax.Array:
     """Threshold the float grid and OR each cascade's max-pool into the next
     coarser cascade's central half (``grid_to_bitfield`` +
-    ``bitfield_max_pool``, ``testbed_nerf.cu:762-812``)."""
+    ``bitfield_max_pool``, ``testbed_nerf.cu:762-812``).
+
+    ``thresh_scale`` (optional, default off) compensates refresh schedules
+    that let cells decay between re-queries: ``decay^(n_strides/2)`` lets
+    a cell halfway through its stride-refresh period (mean-case decay)
+    still clear the threshold its freshly queried value would clear —
+    without it, occupied cells within ~1/scale of the threshold flicker
+    out until their residue class recurs (ADVICE r4). The engine keeps it
+    at 1.0: the slower pruning measurably stalls training on the sphere
+    fixture (see the stride-update note in ``engines/nerf.py``)."""
     C, G = density.shape[0], density.shape[1]
-    thresh = jnp.minimum(NERF_MIN_OPTICAL_THICKNESS, mean_density)
+    thresh = jnp.minimum(NERF_MIN_OPTICAL_THICKNESS, mean_density) * thresh_scale
     bits = density > thresh  # (C, G, G, G) bool
     levels = [bits[0]]
     q = G // 4
@@ -245,15 +256,26 @@ def stride_cells(
     class needs NO gathers to choose cells and its splat is a dense lane
     select (see :func:`place_stride`). Every cell of every cascade is
     re-queried exactly once per ``n_strides`` updates — lower variance than
-    the reference's probabilistic coverage; the occupancy-biased extra
-    refresh rate is unnecessary because EMA-max keeps occupied cells alive
-    for ~90 decays between refreshes.
+    the reference's probabilistic coverage. Dynamics caveat vs the
+    reference: a cell decays ``decay^(n_strides-1)`` (~0.46 at 16 strides)
+    between its refreshes, so *marginal* occupied cells (within ~2x of the
+    bitfield threshold) would flicker out mid-period where the reference's
+    occupancy-biased resampling re-queries them nearly every update;
+    :func:`build_bitfield`'s ``thresh_scale`` knob can compensate, but it
+    is OFF by default — measured on the sphere fixture the slower pruning
+    it causes stalls training outright (see the engine's stride-update
+    note). Cells far above threshold survive ~90 decays regardless.
 
     Returns ``pos`` ((C·n_cells/n_strides), 3) scene-space jittered
     positions, ordered cascade-major then by stride index ``j`` (flat cell
     = j·n_strides + phase).
     """
     G, C = cfg.grid_size, cfg.n_cascades
+    if cfg.n_cells % n_strides:
+        raise ValueError(
+            f"n_strides={n_strides} must divide n_cells={cfg.n_cells} "
+            "(use a power of two for power-of-two grid sizes)"
+        )
     n_per = cfg.n_cells // n_strides
     j = jnp.arange(n_per, dtype=jnp.int32)
     cell_flat = j * n_strides + phase.astype(jnp.int32)  # (n_per,)
@@ -277,6 +299,11 @@ def place_stride(
     residue class' cells set and everything else 0 — one elementwise lane
     select, no scatter, no sort."""
     G, C = cfg.grid_size, cfg.n_cascades
+    if cfg.n_cells % n_strides:
+        raise ValueError(
+            f"n_strides={n_strides} must divide n_cells={cfg.n_cells} "
+            "(use a power of two for power-of-two grid sizes)"
+        )
     n_per = cfg.n_cells // n_strides
     v = values.reshape(C, n_per, 1)
     lanes = jnp.arange(n_strides, dtype=jnp.int32)[None, None, :]
@@ -288,14 +315,15 @@ def update_grid_state_dense(
     cfg: OccupancyGridConfig,
     state: OccupancyGridState,
     sampled_density_dense: jax.Array,  # (C, G, G, G) activated density, 0 = unsampled
+    thresh_scale: float = 1.0,
 ) -> OccupancyGridState:
     """:func:`update_grid_state` for updates whose splat is already dense
     (stride-residue refresh, all-cells warmup sweeps) — skips the
-    segment-max entirely."""
+    segment-max entirely. ``thresh_scale``: see :func:`build_bitfield`."""
     tmp = sampled_density_dense * MIN_CONE_STEPSIZE
     density = ema_update_density(state.density, tmp, cfg.decay)
     mean_density = jnp.mean(jnp.maximum(density[0], 0.0))
-    bitfield = build_bitfield(density, mean_density)
+    bitfield = build_bitfield(density, mean_density, thresh_scale)
     return OccupancyGridState(density, bitfield, mean_density, state.ema_step + 1)
 
 

@@ -11,13 +11,14 @@ Two strategies, chosen per level size (measured on v5e, bench_r3):
 
 1. **MXU one-hot** (``ops/pallas/segsum.py``): MACs = M·T_pad·F — wins for
    small tables (T ≲ 64k), zero sort traffic.
-2. **sort + histogram**: one unstable per-level sort of (key, payload),
-   a blocked cumsum, and an MXU histogram (MACs = M·T_pad, F-free) that
-   yields every table row's run boundary inside the sorted array:
-   ``ends[t] = #keys ≤ t`` ⇒ ``dense[t] = cs[ends[t]−1] − cs[ends[t−1]−1]``.
-   This replaces the round-1/2 design's T slot-sentinel rows *and* its
-   second (M+T)-element sort with one cheap matmul: measured 61.5 ms →
-   ~15 ms at the fork bench geometry (L=4, M=1.31M, T=2^19, F=4).
+2. **sort + block-windowed one-hot** (``ops/pallas/segsum_sorted.py``):
+   one unstable per-level sort of (key, payload), a 256-bucket coarse
+   histogram to window each 1024-row output block, then one streamed
+   Pallas pass of kron-factored one-hot matmuls per window (MACs =
+   M·1024·F — the sort is what buys the T/1024 MAC reduction vs the
+   direct kernel). Evolution: slot-sentinel double sort (61.5 ms, r1/2)
+   → cumsum + M·T histogram + T-row run-end gather (~24 ms, r3/4) →
+   this (~13.5 ms incl. the 10.7 ms sort) at the fox bench geometry.
 
 ``segment_max`` reduces to ``segment_sum``: sort (key asc, value desc),
 zero all but each run's first row, then sum.
@@ -35,9 +36,14 @@ import jax.numpy as jnp
 import numpy as np
 
 # MXU one-hot direct strategy for levels whose padded table has at most
-# this many rows (MAC-time ≈ T_pad·F·M/peak beats the level's share of the
-# batched sort below this; measured crossover on v5e is ~1e5 at F=4).
-_MXU_DIRECT_MAX_T = int(os.environ.get("NGP_TPU_SEGSUM_MXU_MAX_T", 1 << 16))
+# this many rows. DEFAULT 0 (disabled): with the block-windowed sorted
+# extractor, routing the small dense levels through the shared batched
+# sort measures 14.7 ms for the full 8-level fox backward vs 39.3 ms with
+# the direct kernel taking levels ≤ 2^16 (v5e, round 5 — the direct
+# kernel's one-hot construction dominates at production M and its
+# presence also serializes against the sort pipeline). The direct kernel
+# remains available for A/B via NGP_TPU_SEGSUM_MXU_MAX_T.
+_MXU_DIRECT_MAX_T = int(os.environ.get("NGP_TPU_SEGSUM_MXU_MAX_T", 0))
 
 
 def blocked_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
@@ -158,10 +164,19 @@ def _segment_sum_sort_hist(
     n_segments: int,
     payload_dtype: str,
 ) -> jax.Array:
-    """Sort + MXU-histogram strategy (TPU): one batched unstable sort of
-    (key, payload) over the L levels, a blocked cumsum, then one batched
-    int8 MXU histogram locates every table row's run. No sentinel rows,
-    no second sort."""
+    """Sort + run-extraction strategy (TPU): one batched unstable sort of
+    (key, payload) over the L levels, then one of two run extractors:
+
+    - ``sorted_blocks`` (default): the block-windowed one-hot Pallas
+      kernel (``ops/pallas/segsum_sorted.py``) streams the sorted array
+      once, turning each 1024-row block's window into kron-factored
+      one-hot matmuls — no M-scale cumsum, no M·T histogram, no T-row
+      gather (13.4 ms of extractor stages -> ~2.7 ms measured on v5e at
+      the fox bench geometry).
+    - ``cumsum_hist`` (``NGP_TPU_SEGSUM_HIST=cumsum_hist``): blocked
+      cumsum + batched int8 MXU histogram + run-end row gather (the
+      round-3/4 pipeline, kept for A/B)."""
+    from ngp_tpu.ops.pallas import segsum_sorted as ssb
     from ngp_tpu.ops.pallas.segsum import segment_count_onehot_batched
 
     L, M = keys.shape
@@ -177,6 +192,18 @@ def _segment_sum_sort_hist(
         if payload_dtype == "bfloat16"
         else list(s[1:])
     )
+
+    if os.environ.get("NGP_TPU_SEGSUM_HIST", "sorted_blocks") == "sorted_blocks":
+        Tmax = max(sizes)
+        Tpad = -(-Tmax // ssb.RB) * ssb.RB
+        starts = ssb.block_starts_for(keys, Tpad)  # from UNSORTED keys
+        dense = ssb.segment_sum_sorted_blocks(
+            s[0], jnp.stack(sorted_cols, axis=1), starts, Tpad
+        )[:, :Tmax]  # (L, Tmax, F); rows past a level's live size sum to 0
+        if Tmax < n_segments:
+            dense = jnp.pad(dense, ((0, 0), (0, n_segments - Tmax), (0, 0)))
+        return dense
+
     cs = jnp.stack([blocked_cumsum(c) for c in sorted_cols], axis=-1)  # (L, M, F)
 
     # One batched histogram for all levels (a level smaller than the max

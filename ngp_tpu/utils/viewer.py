@@ -34,6 +34,7 @@ from __future__ import annotations
 import io
 import json
 import math
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -241,9 +242,15 @@ def make_server(testbed, host: str = "127.0.0.1", port: int = 8080,
                     mode="r", suffix=".json", delete=False
                 ) as f:
                     tmp = f.name
-                path.save(tmp)
-                with open(tmp) as f:
-                    body = f.read().encode()
+                try:
+                    path.save(tmp)
+                    with open(tmp) as f:
+                        body = f.read().encode()
+                finally:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
                 self._send(200, body, "application/json")
                 return
             if u.path == "/frame.jpg":

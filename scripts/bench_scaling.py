@@ -45,18 +45,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def time_steps(step, state, grid, key, n=6):
-    import jax.random as jr
+def time_steps(step, state, grid, key, n=16, repeats=3):
+    """Best-of-``repeats`` windows of ``n`` steps each (round-4 verdict:
+    with one 6-step window the noise exceeded the collective cost being
+    measured — the no-sync ablation measured *slower* than the synced
+    step). Min-of-windows is the standard noise-robust estimator for
+    fixed-work timing. Also returns the window spread for the record."""
     import jax.numpy as jnp
+    import jax.random as jr
 
     state = jax.tree.map(jnp.copy, state)  # the step donates its state arg
-    state, _ = step(state, grid, jr.fold_in(key, 999))  # compile
+    for w in range(2):  # compile + warm
+        state, _ = step(state, grid, jr.fold_in(key, 999 - w))
     jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, _ = step(state, grid, jr.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    return (time.perf_counter() - t0) / n
+    times = []
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, _ = step(state, grid, jr.fold_in(key, rep * n + i))
+        jax.block_until_ready(state.params)
+        times.append((time.perf_counter() - t0) / n)
+    return min(times), (max(times) - min(times)) / min(times)
 
 
 def main():
@@ -74,17 +83,17 @@ def main():
     per_dev_batch = 1 << 12
     e1 = NerfEngine(_default_config(), ds, batch_size=per_dev_batch)
     s1, g1 = e1.init_state(), e1.init_grid()
-    t1 = time_steps(build_dp_train_step(e1, make_mesh(1)), s1, g1, key)
+    t1, v1 = time_steps(build_dp_train_step(e1, make_mesh(1)), s1, g1, key)
 
     en = NerfEngine(_default_config(), ds, batch_size=per_dev_batch * n_dev)
     sn, gn = en.init_state(), en.init_grid()
     mesh_n = make_mesh(n_dev)
-    tn = time_steps(build_dp_train_step(en, mesh_n), sn, gn, key)
+    tn, vn = time_steps(build_dp_train_step(en, mesh_n), sn, gn, key)
 
     # Collective ablation: same global shape, gradients NOT synced
     # (shard-local training — numerically different, identical FLOPs/
     # memory traffic minus the collectives).
-    tn_nosync = time_steps(
+    tn_nosync, vns = time_steps(
         build_dp_train_step(en, mesh_n, sync_gradients=False), sn, gn, key
     )
 
@@ -98,6 +107,7 @@ def main():
         "t_step_1dev_ms": round(t1 * 1e3, 1),
         "t_step_ndev_ms": round(tn * 1e3, 1),
         "t_step_ndev_nosync_ms": round(tn_nosync * 1e3, 1),
+        "window_spread": [round(v1, 3), round(vn, 3), round(vns, 3)],
         "note": (
             f"virtual CPU mesh, {N_DEV} devices on {NPROC} cores "
             "(>=2 cores/device); weak scaling + collective-drop ablation; "

@@ -401,8 +401,13 @@ def test_dup_backward_corners_matches_pairs():
         gc = table_grad()
         os.environ["NGP_TPU_DUP_BWD"] = "pairs"
         gp = table_grad()
+        os.environ["NGP_TPU_DUP_BWD"] = "quads"
+        gq = table_grad()
     finally:
         os.environ.pop("NGP_TPU_DUP_BWD", None)
         del os.environ["NGP_TPU_SEGSUM_PAYLOAD"]
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), rtol=1e-4,
+                               atol=1e-5)
+    # quad grouping (the round-5 default): same gradient
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), rtol=1e-4,
                                atol=1e-5)

@@ -391,3 +391,52 @@ def test_march_more_slots_than_lattice():
     n = int(m.n_samples[0])
     assert 0 < n <= M
     assert bool(jnp.all(m.valid[0, :n])) and not bool(jnp.any(m.valid[0, n:]))
+
+
+def test_stride_cells_pow2_covers_all_cells_odd_cascades():
+    """Stride-residue refresh with n_cascades=3 (aabb_scale=4): a pow2
+    stride count divides the pow2 cell count; every cell of every cascade
+    is hit exactly once across the period (ADVICE r4 regression — the old
+    auto count 2*n_cascades=6 broke place_stride's dense reshape)."""
+    cfg = occ.OccupancyGridConfig(grid_size=8, n_cascades=3)
+    n_strides = 8
+    seen = np.zeros((cfg.n_cascades, cfg.n_cells), bool)
+    for phase in range(n_strides):
+        vals = jnp.ones((cfg.n_cascades * cfg.n_cells // n_strides,))
+        splat = occ.place_stride(cfg, vals, jnp.int32(phase), n_strides)
+        assert splat.shape == (3, 8, 8, 8)
+        seen |= np.asarray(splat).reshape(3, -1) > 0
+        pos = occ.stride_cells(cfg, jax.random.PRNGKey(phase), jnp.int32(phase), n_strides)
+        assert pos.shape == (cfg.n_cascades * cfg.n_cells // n_strides, 3)
+    assert seen.all()
+
+
+def test_stride_cells_rejects_non_dividing_count():
+    cfg = occ.OccupancyGridConfig(grid_size=8, n_cascades=3)
+    with np.testing.assert_raises(ValueError):
+        occ.stride_cells(cfg, jax.random.PRNGKey(0), jnp.int32(0), 6)
+    with np.testing.assert_raises(ValueError):
+        occ.place_stride(cfg, jnp.ones((cfg.n_cells // 2,)), jnp.int32(0), 6)
+
+
+def test_engine_grid_strides_rounded_to_pow2():
+    """NerfEngine auto stride count must be a power of two for every
+    accepted aabb_scale (ADVICE r4: 2*n_cascades=6 crashed training for
+    aabb_scale 4/16/32/64)."""
+    from ngp_tpu.engines.nerf import NerfEngine
+    from tests.test_nerf_engine import CONFIG, _make_dataset
+
+    ds = _make_dataset(n_views=4)
+    ds.aabb_scale = 4
+    eng = NerfEngine(
+        dict(CONFIG), ds, batch_size=1 << 12, grid_size=16,
+        n_steps_per_unit=64,
+    )
+    assert eng.grid_cfg.n_cascades == 3
+    s = eng._grid_strides
+    assert s & (s - 1) == 0 and eng.grid_cfg.n_cells % s == 0
+    state = eng.init_state()
+    grid = eng.init_grid()
+    # one non-warmup stride update must run (the old count crashed here)
+    g2 = eng.update_grid(state, grid, jax.random.PRNGKey(1), warmup=False)
+    assert np.isfinite(float(g2.mean_density))

@@ -114,13 +114,15 @@ def test_dense_segment_max_matches_numpy():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_tpu_sort_hist_strategy_matches_sentinel_interpret():
+@pytest.mark.parametrize("strategy", ["sorted_blocks", "cumsum_hist"])
+def test_tpu_sort_hist_strategy_matches_sentinel_interpret(strategy):
     """The EXACT code path producing production gradients on TPU hardware
-    — ``_segment_sum_sort_hist`` with its Pallas MXU histogram — run here
-    in interpret mode against the sentinel fallback on identical inputs
-    at bench-like shapes (round-3 verdict weak #5: the CPU suite always
-    took the sentinel branch, so a numerics drift in the TPU strategy was
-    tested by nothing but the bench's PSNR)."""
+    — ``_segment_sum_sort_hist`` with either run extractor (the default
+    interval-extraction Pallas kernel, and the cumsum+histogram A/B path)
+    — run here in interpret mode against a numpy oracle on identical
+    inputs at bench-like shapes (round-3 verdict weak #5: the CPU suite
+    always took the sentinel branch, so a numerics drift in the TPU
+    strategy was tested by nothing but the bench's PSNR)."""
     import functools
     from unittest import mock
 
@@ -129,7 +131,7 @@ def test_tpu_sort_hist_strategy_matches_sentinel_interpret():
     import numpy as np
 
     from ngp_tpu.ops import scatter_free as sf
-    from ngp_tpu.ops.pallas import segsum
+    from ngp_tpu.ops.pallas import segsum, segsum_sorted as ssb
 
     rng = np.random.default_rng(7)
     # bench-like geometry scaled down: mixed level sizes spanning the MXU
@@ -145,49 +147,58 @@ def test_tpu_sort_hist_strategy_matches_sentinel_interpret():
     for l in range(L):
         np.add.at(want[l], keys[l], vals[l])
 
-    hist_interp = functools.partial(
-        segsum.segment_count_onehot_batched, interpret=True
-    )
-    with mock.patch.object(
-        sf.jax, "default_backend", lambda: "tpu"
-    ), mock.patch.object(
-        segsum, "segment_count_onehot_batched", hist_interp
-    ), mock.patch.object(
-        sf, "_MXU_DIRECT_MAX_T", 1024
-    ), mock.patch.object(
-        segsum, "segment_sum_onehot",
-        functools.partial(segsum.segment_sum_onehot, interpret=True),
-    ):
-        got = np.asarray(
-            sf.batched_segment_sum(
-                jnp.asarray(keys), jnp.asarray(vals), T,
-                payload_dtype="float32", level_sizes=sizes,
+    patches = [
+        mock.patch.object(sf.jax, "default_backend", lambda: "tpu"),
+        mock.patch.object(
+            segsum, "segment_count_onehot_batched",
+            functools.partial(segsum.segment_count_onehot_batched,
+                              interpret=True),
+        ),
+        mock.patch.object(sf, "_MXU_DIRECT_MAX_T", 1024),
+        mock.patch.object(
+            segsum, "segment_sum_onehot",
+            functools.partial(segsum.segment_sum_onehot, interpret=True),
+        ),
+        mock.patch.object(
+            ssb, "segment_sum_sorted_blocks",
+            functools.partial(ssb.segment_sum_sorted_blocks, interpret=True),
+        ),
+        mock.patch.object(
+            ssb, "block_starts_for",
+            functools.partial(ssb.block_starts_for, interpret=True),
+        ),
+        mock.patch.dict(
+            sf.os.environ, {"NGP_TPU_SEGSUM_HIST": strategy}
+        ),
+    ]
+
+    def run(payload_dtype):
+        from contextlib import ExitStack
+
+        with ExitStack() as es:
+            for pt in patches:
+                es.enter_context(pt)
+            return np.asarray(
+                sf.batched_segment_sum(
+                    jnp.asarray(keys), jnp.asarray(vals), T,
+                    payload_dtype=payload_dtype, level_sizes=sizes,
+                )
             )
-        )
+
+    got = run("float32")
     # level 0 (size 512 <= the mocked MXU threshold) takes the one-hot
-    # kernel, whose matmul is bf16 (tcnn fp16-atomics precision class);
-    # the sort+hist levels accumulate fp32 addends exactly
+    # kernel, whose matmul is bf16 (tcnn fp16-atomics precision class).
+    # cumsum_hist keeps exact fp32 addends on the sort levels; the
+    # sorted_blocks extractor is a bf16 one-hot matmul everywhere.
     scale = np.abs(want).max()
     assert np.abs(got[0] - want[0]).max() < 0.02 * scale
-    np.testing.assert_allclose(got[1:], want[1:], rtol=2e-4, atol=2e-4)
+    if strategy == "cumsum_hist":
+        np.testing.assert_allclose(got[1:], want[1:], rtol=2e-4, atol=2e-4)
+    else:
+        assert np.abs(got[1:] - want[1:]).max() < 0.02 * scale
 
     # bf16 payload (the production default): same within bf16 tolerance
-    with mock.patch.object(
-        sf.jax, "default_backend", lambda: "tpu"
-    ), mock.patch.object(
-        segsum, "segment_count_onehot_batched", hist_interp
-    ), mock.patch.object(
-        sf, "_MXU_DIRECT_MAX_T", 1024
-    ), mock.patch.object(
-        segsum, "segment_sum_onehot",
-        functools.partial(segsum.segment_sum_onehot, interpret=True),
-    ):
-        got_bf = np.asarray(
-            sf.batched_segment_sum(
-                jnp.asarray(keys), jnp.asarray(vals), T,
-                payload_dtype="bfloat16", level_sizes=sizes,
-            )
-        )
+    got_bf = run("bfloat16")
     assert np.abs(got_bf - want).max() < 0.02 * scale
 
     # and the sentinel path agrees with numpy too (the A/B reference)

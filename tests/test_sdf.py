@@ -256,3 +256,74 @@ def test_sdf_render_modes_and_shadows():
     np.testing.assert_allclose(
         np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-2
     )
+
+
+def test_winding_sign_robust_to_holes():
+    """Winding-number sign (the PathEscape-counterpart mode): correct
+    inside/outside on a watertight cube AND on the same cube with a face
+    removed, where the closest-normal (watertight) test is unreliable
+    near the hole."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ngp_tpu.geometry.triangle_bvh import (
+        build_bvh,
+        signed_distance_watertight,
+        signed_distance_winding,
+        winding_number,
+    )
+
+    lo, hi = 0.3, 0.7
+    v = np.array([[x, y, z] for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)])
+    # 12 triangles, outward orientation
+    faces = [
+        (0, 1, 3), (0, 3, 2),  # x = lo
+        (4, 6, 7), (4, 7, 5),  # x = hi
+        (0, 4, 5), (0, 5, 1),  # y = lo
+        (2, 3, 7), (2, 7, 6),  # y = hi
+        (0, 2, 6), (0, 6, 4),  # z = lo
+        (1, 5, 7), (1, 7, 3),  # z = hi
+    ]
+    tris = np.asarray([[v[a], v[b], v[c]] for a, b, c in faces], np.float32)
+    pts = jnp.asarray([
+        [0.5, 0.5, 0.5],    # center: inside
+        [0.65, 0.65, 0.65], # near a corner: inside
+        [0.9, 0.5, 0.5],    # outside
+        [0.5, 0.1, 0.5],    # outside
+    ])
+
+    bvh = build_bvh(jnp.asarray(tris))
+    sd_w = np.asarray(signed_distance_winding(bvh, pts))
+    sd_ref = np.asarray(signed_distance_watertight(bvh, pts))
+    assert (np.sign(sd_w) == [-1, -1, 1, 1]).all()
+    # watertight + winding agree on the closed mesh (incl. magnitudes)
+    np.testing.assert_allclose(sd_w, sd_ref, rtol=1e-5, atol=1e-6)
+
+    # remove the z=hi face pair -> open box; winding still classifies the
+    # interior as enclosed (w > 0.5) and the exterior as open
+    tris_open = jnp.asarray(tris[:10])
+    w = np.asarray(winding_number(tris_open, pts))
+    assert w[0] > 0.5 and w[1] > 0.5 and w[2] < 0.5 and w[3] < 0.5
+    bvh_open = build_bvh(tris_open)
+    sd_open = np.asarray(signed_distance_winding(bvh_open, pts))
+    assert (np.sign(sd_open) == [-1, -1, 1, 1]).all()
+
+
+def test_sdf_engine_sign_mode_winding(cube_mesh):
+    from ngp_tpu.engines.sdf import SdfEngine
+    import numpy as np
+    import jax
+
+    eng = SdfEngine(dict(CONFIG), cube_mesh, batch_size=512,
+                    sign_mode="winding")
+    pos, dist = eng.generate_training_samples(jax.random.PRNGKey(0), 512)
+    assert np.isfinite(np.asarray(dist)).all()
+    # some interior (negative) and exterior (positive) samples exist
+    d = np.asarray(dist)
+    assert (d < 0).any() and (d > 0).any()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        SdfEngine(dict(CONFIG), cube_mesh, batch_size=512,
+                  sign_mode="bogus")
