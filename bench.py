@@ -323,9 +323,14 @@ def main():
                 return jnp.sum(net(p, (pos + t * 1e-30) % 1.0, dirs) ** 2)
 
             def bwd_fn(p, pos, dirs, t):
-                return jax.grad(loss)(p, pos, dirs, t)[
-                    "density_mlp"
-                ]["weights"][0].sum()
+                # consume EVERY gradient leaf — reducing only one leaf
+                # lets XLA dead-code-eliminate the rest (notably the
+                # hash-table segment sum), which made rounds 3-5 report
+                # bwd ~= fwd
+                g = jax.grad(loss)(p, pos, dirs, t)
+                return sum(
+                    jnp.sum(x[..., ::257]) for x in jax.tree.leaves(g)
+                )
 
             R_ = 12
             for name, fn in (("hash_mlp_fwd_us", fwd_fn), ("hash_mlp_bwd_us", bwd_fn)):

@@ -124,6 +124,9 @@ class MarchedRays(NamedTuple):
     complete: jax.Array  # (N,) bool — ray left the AABB within the lattice
     # and all its occupied points fit in K (reference: compacted == numsteps
     # gates background compositing, testbed_nerf.cu:1822-1825)
+    exited: jax.Array | None = None  # (N,) bool — ray left the AABB within
+    # the lattice span (regardless of the K cap); drives the staged
+    # renderer's ray-liveness (None from march stubs that predate it)
 
 
 def march_rays(
@@ -185,7 +188,7 @@ def march_rays(
     kept = jnp.minimum(total, n_samples)
     valid = jnp.arange(n_samples)[None, :] < kept[:, None]
     complete = exited & (total <= n_samples)
-    return MarchedRays(t_c, dt_c, valid, kept, total, complete)
+    return MarchedRays(t_c, dt_c, valid, kept, total, complete, exited)
 
 
 def ray_aabb_range(origins, dirs, aabb_min, aabb_max):

@@ -85,3 +85,30 @@ def test_render_encoding_vis(trained):
     arr = np.asarray(img)
     assert arr.shape[-1] == 3 and np.isfinite(arr).all()
     assert (arr >= 0).all() and (arr <= 1).all()
+
+
+def test_staged_render_matches_single_pass():
+    """The staged survivor-compaction renderer (render_staged=True, the
+    default for shade/depth/ao) must match the single-pass renderer — its
+    only semantic deltas are the conservative segment-local
+    min_transmittance cut and the per-stage compaction budgets."""
+    import numpy as np
+
+    from tests.test_nerf_engine import CONFIG, _make_dataset
+    from ngp_tpu.engines.nerf import NerfEngine
+
+    eng = NerfEngine(
+        dict(CONFIG), _make_dataset(4), batch_size=1 << 13, grid_size=32,
+        n_steps_per_unit=256, seed=11,
+    )
+    state, grid = eng.init_state(), eng.init_grid()
+    state, grid, _ = eng.train(state, grid, 48)
+    for mode in ("shade", "depth", "ao"):
+        eng._jit_cache.clear()
+        eng.render_staged = True
+        a = np.asarray(eng.render_image(state, grid, 0, stride=4, mode=mode))
+        eng._jit_cache.clear()
+        eng.render_staged = False
+        b = np.asarray(eng.render_image(state, grid, 0, stride=4, mode=mode))
+        assert np.abs(a - b).max() < 0.02, (mode, np.abs(a - b).max())
+    eng.render_staged = True
