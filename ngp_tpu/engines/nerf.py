@@ -272,11 +272,21 @@ class NerfEngine:
     # len(render_stage_budgets) segments; stage s marches/shades only a
     # compacted subset of still-alive rays at a static budget of
     # ceil(N·budgets[s]) (pow2-rounded) — the wavefront counterpart
-    # (testbed_nerf.cu:2504-2659). Budgets after stage 0 reflect measured
-    # survivor fractions on fox (rays terminate shortly after the first
-    # surface). render_staged=False restores the single-pass renderer.
-    render_staged: bool = True
-    render_stage_budgets: tuple = (1.0, 0.5, 0.25, 0.25)
+    # (testbed_nerf.cu:2504-2659). OFF by default: measured on fox, the
+    # ray-liveness assumption fails for outward-looking cameras — the
+    # ~half of rays that miss the subject never terminate by
+    # transmittance and stay alive through the whole lattice, so any
+    # budget < 1.0 truncates exactly the rays that still need content
+    # (sky pixels render fine, but not-yet-terminated SUBJECT rays in the
+    # truncated tail go to background) while the staging overhead (4
+    # marches + sorts) costs ~15%. Profitable only for inward-looking
+    # captures whose rays all hit a surface early; enable + tune budgets
+    # per scene, watching last_render_overflow.
+    render_staged: bool = False
+    # Budgets must COVER the per-stage alive fraction: rays alive past a
+    # stage's budget are truncated to background (counted in
+    # last_render_overflow).
+    render_stage_budgets: tuple = (1.0, 1.0, 0.5, 0.375)
     # Per-stage sample-compaction budget (occupied samples per segment are
     # ~4x sparser than over the whole lattice).
     render_staged_compaction_frac: float = 0.35
@@ -1457,6 +1467,7 @@ class NerfEngine:
         depth_acc = jnp.zeros((N,))
         Tr = jnp.ones((N,))
         alive = jnp.ones((N,), bool)
+        overflow = jnp.zeros((), jnp.int32)  # rays truncated by budgets
         iota = jnp.arange(N, dtype=jnp.int32)
         frac = getattr(self, "render_staged_compaction_frac", 0.35)
         for s, bfrac in enumerate(budgets):
@@ -1472,6 +1483,9 @@ class NerfEngine:
                     jnp.zeros((N,), jnp.int32)
                     .at[idx].max(sel_alive.astype(jnp.int32))
                 ) > 0
+                overflow = overflow + jnp.sum(
+                    (alive & ~selected).astype(jnp.int32)
+                )
                 alive = alive & selected
             else:
                 idx = iota
@@ -1516,11 +1530,12 @@ class NerfEngine:
         bg = self._miss_background(params, dirs)
         out_rgb = rgb_acc + Tr[:, None] * bg
         if mode == "depth":
-            return jnp.repeat(depth_acc[:, None], 3, 1), depth_acc, 1.0 - Tr
+            return (jnp.repeat(depth_acc[:, None], 3, 1), depth_acc,
+                    1.0 - Tr, overflow)
         if mode == "ao":
             op = 1.0 - Tr
-            return jnp.repeat(op[:, None], 3, 1), depth_acc, op
-        return out_rgb, depth_acc, 1.0 - Tr
+            return jnp.repeat(op[:, None], 3, 1), depth_acc, op, overflow
+        return out_rgb, depth_acc, 1.0 - Tr, overflow
 
     def _render_chunk(self, params, bitfield, origins, dirs, crop_min,
                       crop_max, mode: str = "shade",
@@ -1708,6 +1723,7 @@ class NerfEngine:
         )
         n = origins.shape[0]
         rgbs, depths, opas = [], [], []
+        overflow = None
         for s in range(0, n, chunk):
             o = origins[s : s + chunk]
             d = dirs[s : s + chunk]
@@ -1715,11 +1731,18 @@ class NerfEngine:
             if pad:
                 o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)], 0)
                 d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], 0)
-            rgb, dep, opa = fn(params, grid.bitfield, o, d, cmin, cmax)
+            out = fn(params, grid.bitfield, o, d, cmin, cmax)
+            rgb, dep, opa = out[:3]
+            if staged:
+                # rays truncated by a stage budget (device scalar; fetched
+                # lazily by whoever inspects last_render_overflow)
+                overflow = out[3] if overflow is None else overflow + out[3]
             take = chunk - pad
             rgbs.append(rgb[:take])
             depths.append(dep[:take])
             opas.append(opa[:take])
+        if staged:
+            self.last_render_overflow = overflow
         return (
             jnp.concatenate(rgbs, 0),
             jnp.concatenate(depths, 0),
