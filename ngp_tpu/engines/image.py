@@ -87,31 +87,39 @@ class ImageEngine:
         params = self.model.init(jax.random.PRNGKey(self.seed))
         return self.trainer.init(params)
 
-    def _make_batch(self, key, step, batch_size: int):
+    def _make_batch(self, key, step, batch_size: int, image=None):
         pos = sample_positions(self.random_mode, key, step, batch_size, self.seed)
         return eval_image_and_snap(
-            self.image_dev, pos, self.snap_to_pixel_centers, self.linear_colors
+            self.image_dev if image is None else image, pos,
+            self.snap_to_pixel_centers, self.linear_colors,
         )
 
     def train(
         self, state: TrainState, n_steps: int, batch_size: int | None = None
     ) -> tuple[TrainState, jax.Array]:
         """Run ``n_steps`` training steps as one compiled scan; returns the
-        new state and the per-step loss history."""
+        new state and the per-step loss history.
+
+        The image rides into the jitted scan as an ARGUMENT, not a
+        closure constant — a closed-over gigapixel texture would be
+        embedded in the program and shipped to the (remote) compiler
+        (measured: a 105 MP f16 image stalled compilation indefinitely
+        through the dev-chip tunnel; as an argument it compiles in
+        ~2 min)."""
 
         batch_size = batch_size or self.batch_size
 
         @jax.jit
-        def run(state):
+        def run(state, image):
             def body(state, step):
                 key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
-                pos, targets = self._make_batch(key, step, batch_size)
+                pos, targets = self._make_batch(key, step, batch_size, image)
                 state, loss = self.trainer._training_step(state, pos, targets)
                 return state, loss
 
             return jax.lax.scan(body, state, state.step + jnp.arange(n_steps))
 
-        return run(state)
+        return run(state, self.image_dev)
 
     def render(
         self, state: TrainState, width: int | None = None, height: int | None = None
@@ -179,9 +187,9 @@ class ImageEngine:
         params = self.trainer.inference_params(state)
 
         @jax.jit
-        def chunk_se(params, pos):
+        def chunk_se(params, pos, image):
             p, targets = eval_image_and_snap(
-                self.image_dev, pos, True, self.linear_colors
+                image, pos, True, self.linear_colors
             )
             pred = self.model(params, p)[:, :3]
             if quantize_to_byte:
@@ -191,5 +199,5 @@ class ImageEngine:
 
         total, chunk = 0.0, 1 << 18
         for i in range(0, pos.shape[0], chunk):
-            total += float(chunk_se(params, pos[i : i + chunk]))
+            total += float(chunk_se(params, pos[i : i + chunk], self.image_dev))
         return total / (H * W)

@@ -365,7 +365,10 @@ class NerfEngine:
         # the full AABB diagonal.
         diag = occ.SQRT3 * aabb_scale
         span = self.stepping.to_steps_scalar(diag) - self.stepping.to_steps_scalar(0.0)
-        self.n_lattice = min(int(math.ceil(span)) + 2, 2048)
+        # Rounded up to a multiple of 8 so the hierarchical march's 8-point
+        # segment gate applies (the extra tail points fall past the AABB
+        # and are culled by before_exit).
+        self.n_lattice = min(-(-(int(math.ceil(span)) + 2) // 8) * 8, 2048)
 
         # Activations: HDR datasets train with exponential rgb (load_nerf_post).
         self.rgb_act = "Exponential" if ds.is_hdr else "Logistic"
@@ -527,6 +530,14 @@ class NerfEngine:
             4, 2 * self.grid_cfg.n_cascades
         )
         self._grid_strides = 1 << (want_strides - 1).bit_length()
+        # Hierarchical march (ops/marching.py gate mode): coarse-gate
+        # segment stats ride every step; the fine-gather budget starts
+        # disabled (None = full) and adapts from measured gate totals.
+        self._march_gate_eligible = (
+            self.grid_size % 8 == 0 and self.grid_size >= 16
+            and self.n_lattice % 8 == 0
+        )
+        self._seg_budget: int | None = None
         self.use_importance_sampling = bool(ds.wants_importance_sampling)
         self._emap: ErrorMapState | None = None
         self._emap_interval = 128  # n_steps_between_error_map_updates
@@ -899,6 +910,11 @@ class NerfEngine:
             self.n_lattice,
             k,
             self.grid_cfg.max_mip,
+            gate=(
+                occ.build_coarse_gate(bitfield)
+                if self._march_gate_eligible else None
+            ),
+            seg_budget=self._seg_budget,
         )
 
         # Compaction plan (non-differentiable ints, computed once outside
@@ -993,6 +1009,12 @@ class NerfEngine:
             "measured_samples": aux["measured_samples"],
             "mean_total": jnp.sum(marched.total)
             / jnp.maximum(jnp.sum(hit.astype(jnp.int32)), 1),
+            "seg_total": (
+                marched.gate_total
+                if marched.gate_total is not None
+                else jnp.zeros((), jnp.int32)
+            ),
+            "n_rays": jnp.asarray(n_rays, jnp.int32),
         }
         if emap is None:
             return loss, metrics, grads
@@ -1034,11 +1056,12 @@ class NerfEngine:
 
     def train_step(self, state, grid: occ.OccupancyGridState, emap, key):
         k, n_rays = self._k, self._n_rays
-        fn = self._jit_cache.get(("train_step", k, n_rays))
+        cache_key = ("train_step", k, n_rays, self._seg_budget)
+        fn = self._jit_cache.get(cache_key)
         if fn is None:
             fn = jax.jit(partial(self._train_step, k=k, n_rays=n_rays),
                          donate_argnums=(0, 5))
-            self._jit_cache[("train_step", k, n_rays)] = fn
+            self._jit_cache[cache_key] = fn
         return fn(state, grid.bitfield, grid.mean_density, key, self.data, emap)
 
     def rebuild_error_map(self, emap: ErrorMapState) -> ErrorMapState:
@@ -1107,6 +1130,30 @@ class NerfEngine:
         n_rays = max(self.min_rays_per_batch, min(
             n_rays, (2 * self.batch_size) // self._k))
         self._n_rays = n_rays
+
+        # Hierarchical-march fine budget: pow2 of 2.5x the measured
+        # gate-passing segments (normalized per ray — the metrics may come
+        # from a different ray bucket under the pipelined adapt), floor +
+        # grow-eagerly/shrink-with-margin hysteresis; None disables the
+        # compaction (full fine sweep) when the budget wouldn't save.
+        seg_total = float(metrics.get("seg_total", 0.0))
+        n_rays_meas = int(metrics.get("n_rays", self._n_rays))
+        if self._march_gate_eligible and seg_total > 0:
+            msg = self.n_lattice // 8
+            per_ray = seg_total / max(n_rays_meas, 1)
+            full = self._n_rays * msg
+            want_b = per_ray * self._n_rays * 2.5 + 2048
+            grow = 1 << (max(int(want_b), 1) - 1).bit_length()
+            if grow >= full:
+                self._seg_budget = None
+            elif self._seg_budget is None or grow > self._seg_budget:
+                self._seg_budget = grow
+            else:
+                shrink = 1 << (
+                    max(int(per_ray * self._n_rays * 3.5 + 2048), 1) - 1
+                ).bit_length()
+                if shrink < self._seg_budget:
+                    self._seg_budget = shrink
 
     # -- occupancy maintenance (training_prep_nerf)
 

@@ -127,6 +127,9 @@ class MarchedRays(NamedTuple):
     exited: jax.Array | None = None  # (N,) bool — ray left the AABB within
     # the lattice span (regardless of the K cap); drives the staged
     # renderer's ray-liveness (None from march stubs that predate it)
+    gate_total: jax.Array | None = None  # scalar int32 — coarse-gate
+    # passing segments this batch (hierarchical march; sizes the
+    # adaptive segment budget)
 
 
 def march_rays(
@@ -140,10 +143,24 @@ def march_rays(
     n_lattice: int,  # M — lattice points examined per ray (static)
     n_samples: int,  # K — max samples kept per ray (static)
     max_mip: int,
+    gate: jax.Array | None = None,  # (C, G/8, …) coarse gate (see below)
+    seg_budget: int | None = None,  # max gate-passing segments per batch
 ) -> MarchedRays:
     """Evaluate occupancy at all exponential-lattice points in parallel and
     compact the first K occupied ones per ray. Exactly reproduces the
-    sequential DDA march of the reference (see module docstring)."""
+    sequential DDA march of the reference (see module docstring).
+
+    Hierarchical mode (``gate`` + ``seg_budget``): the N·M occupancy
+    gathers are the march's dominant cost (~5 ns each, issue-bound). With
+    a dilated coarse-pooled bitfield (``occupancy.build_coarse_gate``),
+    each 8-point lattice segment is first tested with ONE gather at the
+    segment's coarsest mip — provably conservative (see the gate's
+    docstring) — and fine occupancy is gathered only for the first
+    ``seg_budget`` passing segments (batch-global, march-order /
+    k-major). Budget overflow drops the deepest segments — the same
+    truncation class as the K sample cap; callers adapt the budget from
+    the returned totals with headroom so steady-state overflow is zero.
+    Positions/mips stay exact full-lattice math (cheap VPU work)."""
     N = origins.shape[0]
     G = bitfield.shape[1]
     k = jnp.arange(n_lattice, dtype=jnp.float32)
@@ -158,7 +175,51 @@ def march_rays(
     exited = ~jnp.all(inside, axis=1)
 
     mip = mip_from_dt(dt, pos, max_mip, G)
-    occ = occupied_at(bitfield, pos, mip) & before_exit
+    SEG = 8
+    gate_total = None
+    if gate is not None and n_lattice % SEG == 0:
+        Msg = n_lattice // SEG
+        mip_seg = mip.reshape(N, Msg, SEG).max(axis=2)  # (N, Msg)
+        mid = pos.reshape(N, Msg, SEG, 3)[:, :, SEG // 2, :]
+        # Clamp the probe into the cascade-m_seg cube: a segment whose
+        # midpoint has stepped past the AABB face (or outside the cube)
+        # would read invalid even though its leading points are inside.
+        # Per-axis clamping only moves the probe TOWARD any in-cube
+        # point, so the ≤ half-pooled-cell distance bound (and hence the
+        # 1-cell dilation coverage) is preserved.
+        halfw = 0.5 * jnp.exp2(mip_seg.astype(jnp.float32))[..., None]
+        mid = jnp.clip(mid, 0.5 - halfw + 1e-6, 0.5 + halfw - 1e-6)
+        g = occupied_at(gate, mid, mip_seg)
+        g = g & jnp.any(before_exit.reshape(N, Msg, SEG), axis=2)
+        gate_total = jnp.sum(g.astype(jnp.int32))
+    if (
+        gate is not None
+        and seg_budget is not None
+        and n_lattice % SEG == 0
+        and seg_budget < N * (n_lattice // SEG)
+    ):
+        from ngp_tpu.ops.compaction import (
+            compact_rows,
+            compaction_plan,
+            expand_rows,
+        )
+
+        # k-major (segment-major) plan: overflow drops DEEPEST segments
+        plan = compaction_plan(jnp.transpose(g).reshape(-1), seg_budget)
+        pos_sm = jnp.transpose(
+            pos.reshape(N, Msg, SEG * 3), (1, 0, 2)
+        ).reshape(Msg * N, SEG * 3)
+        mip_sm = jnp.transpose(mip.reshape(N, Msg, SEG), (1, 0, 2)).reshape(
+            Msg * N, SEG
+        ).astype(jnp.float32)
+        pos_c = compact_rows(pos_sm, plan).reshape(-1, SEG, 3)
+        mip_c = compact_rows(mip_sm, plan).astype(jnp.int32)
+        occ_c = occupied_at(bitfield, pos_c, mip_c).astype(jnp.float32)
+        occ = expand_rows(occ_c, plan).reshape(Msg, N, SEG)
+        occ = jnp.transpose(occ, (1, 0, 2)).reshape(N, n_lattice) > 0.5
+        occ = occ & before_exit
+    else:
+        occ = occupied_at(bitfield, pos, mip) & before_exit
 
     # Compact the first K occupied lattice points per ray with ONE
     # unstable per-row sort of self-indexing keys (occupied points keep
@@ -188,7 +249,8 @@ def march_rays(
     kept = jnp.minimum(total, n_samples)
     valid = jnp.arange(n_samples)[None, :] < kept[:, None]
     complete = exited & (total <= n_samples)
-    return MarchedRays(t_c, dt_c, valid, kept, total, complete, exited)
+    return MarchedRays(t_c, dt_c, valid, kept, total, complete, exited,
+                       gate_total)
 
 
 def ray_aabb_range(origins, dirs, aabb_min, aabb_max):

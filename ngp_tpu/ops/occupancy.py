@@ -522,3 +522,34 @@ def seed_grid_from_point_cloud(
         density[last, :, :, G - 1] = 0.0
         density[last, G - 1, :, :] = 0.0
     return density
+
+
+def build_coarse_gate(bitfield: jax.Array, pool: int = 8) -> jax.Array:
+    """(C, G/pool, …) uint8 coarse occupancy gate: per-cascade max-pool of
+    the bitfield, then a 3³ dilation — the hierarchical march's segment
+    test (``ops/marching.march_rays`` ``gate=``). Conservative by
+    construction: a pooled-dilated cell is 0 only if EVERY fine cell
+    within one pooled cell of it is empty, so a march segment whose
+    midpoint tests 0 at the segment's coarsest mip cannot contain any
+    occupied fine lattice point (segment span ≤ 4 fine cells at that mip
+    = half a pooled cell; finer-mip occupancy is covered because
+    ``build_bitfield`` max-pools every cascade into the next coarser
+    cascade's central half, and a point's cascade cubes are nested).
+    Cost: one max-pool + 6 shifted maxes over the pooled array — ~0.1 ms
+    per train step, paid inside the jitted step."""
+    C, G = bitfield.shape[0], bitfield.shape[1]
+    Gp = G // pool
+    b = bitfield.reshape(C, Gp, pool, Gp, pool, Gp, pool).max(
+        axis=(2, 4, 6)
+    )
+
+    def shift(x, ax, d):
+        pad = [(0, 0)] * 4
+        pad[ax] = (max(d, 0), max(-d, 0))
+        sl = [slice(None)] * 4
+        sl[ax] = slice(None, Gp) if d > 0 else slice(-Gp, None)
+        return jnp.pad(x, pad)[tuple(sl)]
+
+    for ax in (1, 2, 3):
+        b = jnp.maximum(b, jnp.maximum(shift(b, ax, 1), shift(b, ax, -1)))
+    return b

