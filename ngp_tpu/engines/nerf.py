@@ -1131,18 +1131,24 @@ class NerfEngine:
             n_rays, (2 * self.batch_size) // self._k))
         self._n_rays = n_rays
 
-        # Hierarchical-march fine budget: pow2 of 2.5x the measured
+        # Hierarchical-march fine budget: pow2 of 1.6x the measured
         # gate-passing segments (normalized per ray — the metrics may come
         # from a different ray bucket under the pipelined adapt), floor +
         # grow-eagerly/shrink-with-margin hysteresis; None disables the
         # compaction (full fine sweep) when the budget wouldn't save.
+        # Overflow at 1.6x headroom truncates only the DEEPEST segments
+        # (k-major plan) — the same truncation class as the K sample cap,
+        # and only transiently until the next adapt window grows the
+        # budget. The gate self-disables early in training (bitfield
+        # barely pruned -> pass fraction too high for any budget to save)
+        # and engages as occupancy converges.
         seg_total = float(metrics.get("seg_total", 0.0))
         n_rays_meas = int(metrics.get("n_rays", self._n_rays))
         if self._march_gate_eligible and seg_total > 0:
             msg = self.n_lattice // 8
             per_ray = seg_total / max(n_rays_meas, 1)
             full = self._n_rays * msg
-            want_b = per_ray * self._n_rays * 2.5 + 2048
+            want_b = per_ray * self._n_rays * 1.6 + 2048
             grow = 1 << (max(int(want_b), 1) - 1).bit_length()
             if grow >= full:
                 self._seg_budget = None
@@ -1150,7 +1156,7 @@ class NerfEngine:
                 self._seg_budget = grow
             else:
                 shrink = 1 << (
-                    max(int(per_ray * self._n_rays * 3.5 + 2048), 1) - 1
+                    max(int(per_ray * self._n_rays * 2.4 + 2048), 1) - 1
                 ).bit_length()
                 if shrink < self._seg_budget:
                     self._seg_budget = shrink

@@ -524,7 +524,7 @@ def seed_grid_from_point_cloud(
     return density
 
 
-def build_coarse_gate(bitfield: jax.Array, pool: int = 8) -> jax.Array:
+def build_coarse_gate(bitfield: jax.Array, pool: int = 4) -> jax.Array:
     """(C, G/pool, …) uint8 coarse occupancy gate: per-cascade max-pool of
     the bitfield, then a 3³ dilation — the hierarchical march's segment
     test (``ops/marching.march_rays`` ``gate=``). Conservative by
