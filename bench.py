@@ -195,7 +195,11 @@ def main():
     compile_stall = 0.0
     steps = 0
     psnr_probe = 0.0
-    t_reserve = max(0.40 * BUDGET_S, 270.0)
+    # 35% reserve: the non-train phases measured ~500 s at default
+    # budget (holdout 8 views + render + microbench + scaling); 40% was
+    # cutting training off 30-60 s short of the PSNR-30 crossing
+    # (r5 dress rehearsal: 29.98 at the cutoff).
+    t_reserve = max(0.35 * BUDGET_S, 270.0)
     max_steps = int(os.environ.get("BENCH_MAX_STEPS", 12288))
     thr_window = []  # (steps, train-seconds) chunks for trailing throughput
     import statistics
@@ -212,7 +216,7 @@ def main():
         thr_window.append((32, dt, engine.samples_per_step, engine._n_rays))
         if steps % 128 == 0:
             try:
-                psnr_probe = float(engine.psnr(state, grid, 0, stride=8))
+                psnr_probe = float(engine.psnr(state, grid, 0, stride=12))
             except Exception:  # noqa: BLE001
                 psnr_probe = float("nan")
             for tgt in (25, 30):
