@@ -1631,27 +1631,17 @@ class NerfEngine:
             return self._finish_shade(
                 params, dirs, marched, rgb, sigma, mode, min_transmittance
             )
+        # Debug modes (normals / positions / encoding / cost) run
+        # uncompacted — they need the full (N, K) sample layout.
         N, K = marched.t.shape
-        plan = None
         pos = origins[:, None, :] + dirs[:, None, :] * marched.t[..., None]
         pos_w = self.aabb.relative_pos(pos)
         dir_w3 = warp_direction(dirs)
-        if plan is not None:
-            from ngp_tpu.ops.compaction import compact_rows, expand_rows
-
-            pos_km = jnp.transpose(pos_w, (1, 0, 2)).reshape(K * N, 3)
-            dir_km = jnp.broadcast_to(
-                dir_w3[None, :, :], (K, N, 3)
-            ).reshape(K * N, 3)
-            pos_w = compact_rows(pos_km, plan)
-            dir_w = compact_rows(dir_km, plan)
-            n = pos_w.shape[0]
-        else:
-            pos_w = pos_w.reshape(N * K, 3)
-            dir_w = jnp.broadcast_to(
-                dir_w3[:, None, :], (N, K, 3)
-            ).reshape(N * K, 3)
-            n = N * K
+        pos_w = pos_w.reshape(N * K, 3)
+        dir_w = jnp.broadcast_to(
+            dir_w3[:, None, :], (N, K, 3)
+        ).reshape(N * K, 3)
+        n = N * K
         # Chunk the sample sweep: at render sizes (rays × K samples) the
         # encoding's (L, N, C, D) index intermediates would exceed HBM.
         chunk = 1 << 18
@@ -1667,15 +1657,7 @@ class NerfEngine:
         raw = jax.lax.map(
             net,
             (pos_w.reshape(-1, chunk, 3), dir_w.reshape(-1, chunk, 3)),
-        ).reshape(-1, 4)[:n]
-        if plan is not None:
-            from ngp_tpu.ops.compaction import expand_rows
-
-            raw = jnp.transpose(
-                expand_rows(raw, plan).reshape(K, N, 4), (1, 0, 2)
-            )
-        else:
-            raw = raw.reshape(N, K, 4)
+        ).reshape(-1, 4)[:n].reshape(N, K, 4)
         rgb = rgb_activation(self.rgb_act)(raw[..., :3])
         sigma = density_activation(self.density_act)(raw[..., 3])
         if mode == "normals":
@@ -1704,8 +1686,6 @@ class NerfEngine:
                 )
                 return jax.nn.sigmoid(e[:, :3] * 20.0)
 
-            # (mode 'encoding' is outside the compaction gate above, so
-            # pos_w here is always the full N·K layout)
             rgb = jax.lax.map(
                 enc_fn, pos_w.reshape(-1, chunk, 3)
             ).reshape(-1, 3)[:n].reshape(N, K, 3)
